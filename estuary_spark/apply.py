@@ -1,0 +1,217 @@
+"""apply_batch — one micro-batch of the CDC merge-apply pipeline.
+
+This is the Spark re-expression of estuary's steady-state data path
+(SURVEY.md §3.2): fetch -> route -> transform -> buffer -> JDBC apply
+becomes, inside one micro-batch:
+
+    batch_df (one LSN range of the change log)
+      -> recommit check against snapshot properties      (C4 exactly-once)
+      -> schema reconciliation / additive evolution      (D1-D5 analogue)
+      -> salted LWW reduce to one winner per key         (P4/P6)
+      -> bucket routing  pmod(xxhash64(conv_id), N)      (P2 consistent hash)
+      -> bucket-pruned MERGE join against the target     (T2 `replace into`)
+      -> atomic snapshot commit w/ fused offset range    (B2+C4)
+      -> per-bucket lineage rows                         (M1)
+
+Scale notes (100 TB / 10^10 events):
+  * the target side of the merge reads ONLY touched buckets (file-pruned
+    via the manifest) — write amplification is bounded by batch key
+    spread, not table size;
+  * the changes side after LWW is at most one row per distinct key in the
+    batch — usually tiny vs the target, so AQE picks a broadcast or
+    shuffled hash join; both sides are hash-partitioned on the same key;
+  * everything is declarative DataFrame code — whole-stage codegen, no
+    Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from estuary_spark.config import SyncConfig
+from estuary_spark.operators.lww import lww_reduce
+from estuary_spark.tables import BUCKET_COL, DELETED_COL, LSN_COL, LakeTable, bucket_expr
+
+
+@dataclass
+class BatchResult:
+    batch_id: int
+    skipped: bool
+    version: int | None
+    offset_range: tuple[int, int] | None
+    lineage: list[dict]
+    wall_ms: int
+
+
+def reconcile_schema(table: LakeTable, batch_df: DataFrame, cfg: SyncConfig) -> T.StructType:
+    """Additive schema evolution at batch start (the DDL-barrier point).
+
+    New value columns present in the batch but absent from the table are
+    ALTERed in (metadata-only commit). Mirrors estuary's drain-then-DDL
+    barrier (SimpleMysqlBinlogInOrderDirectFetcher.scala:28-36) — a
+    micro-batch boundary is already a drained pipeline.
+    """
+    tschema = table.schema
+    batch_value_fields = [
+        f
+        for f in batch_df.schema.fields
+        if f.name not in cfg.envelope_cols and f.name not in (BUCKET_COL, LSN_COL, DELETED_COL)
+    ]
+    new_fields = [f for f in batch_value_fields if f.name not in tschema.names]
+    if new_fields:
+        if not cfg.allow_schema_evolution:
+            raise ValueError(f"schema evolution disabled; new columns {[f.name for f in new_fields]}")
+        add = T.StructType(new_fields)
+        table.evolve_schema(add)
+        tschema = table.schema
+    return tschema
+
+
+def apply_batch(
+    spark: SparkSession,
+    table: LakeTable,
+    batch_df: DataFrame,
+    cfg: SyncConfig,
+    batch_id: int,
+    offset_range: tuple[int, int] | None = None,
+) -> BatchResult:
+    """Apply one micro-batch of change events to the target table."""
+    t0 = time.time()
+    key_cols = list(cfg.key_cols)
+
+    if offset_range is None:
+        row = batch_df.agg(
+            F.min(cfg.lsn_col).alias("lo"), F.max(cfg.lsn_col).alias("hi")
+        ).collect()[0]
+        if row["lo"] is None:
+            return BatchResult(batch_id, True, None, None, [], int((time.time() - t0) * 1000))
+        offset_range = (int(row["lo"]), int(row["hi"]))
+
+    # ---- exactly-once: skip a fully-applied (replayed) offset range
+    if table.is_range_applied(*offset_range):
+        return BatchResult(batch_id, True, None, offset_range, [], int((time.time() - t0) * 1000))
+
+    # ---- event-type filter (F1) — only DML row events flow
+    batch_df = batch_df.filter(F.col(cfg.op_col).isin("insert", "update", "delete"))
+
+    # ---- schema reconciliation (D1-D5)
+    tschema = reconcile_schema(table, batch_df, cfg)
+    user_cols = [c for c in tschema.names if c not in (LSN_COL, BUCKET_COL, DELETED_COL)]
+
+    # project batch to envelope (op, lsn) + value columns; value columns the
+    # batch doesn't carry (pre-evolution events) become NULL
+    proj = []
+    for c in user_cols:
+        if c in batch_df.columns:
+            proj.append(F.col(c))
+        else:
+            proj.append(F.lit(None).cast(tschema[c].dataType).alias(c))
+    changes = batch_df.select(F.col(cfg.lsn_col).alias("lsn"), F.col(cfg.op_col).alias("op"), *proj)
+
+    # ---- salted LWW reduce: one winner per key (P4 + P6)
+    winners = lww_reduce(changes, key_cols, lsn_col="lsn", salt_factor=cfg.salt_factor, op_col="op")
+
+    # ---- bucket routing (P2): the hash shuffle is the consistent-hash router
+    winners = winners.withColumn(BUCKET_COL, bucket_expr(key_cols[0], table.manifest()["n_buckets"]))
+    winners = winners.persist()
+    touched = [r[BUCKET_COL] for r in winners.select(BUCKET_COL).distinct().collect()]
+    if not touched:
+        winners.unpersist()
+        return BatchResult(batch_id, True, None, offset_range, [], int((time.time() - t0) * 1000))
+
+    # ---- MERGE: bucket-pruned copy-on-write join (T2)
+    target = table.read(spark, buckets=touched, include_tombstones=True)
+
+    s = winners.select(
+        *key_cols,
+        F.col("lsn").alias("_s_lsn"),
+        F.col("op").alias("_s_op"),
+        F.col("_n_events").alias("_s_n"),
+        F.col(BUCKET_COL).alias("_s_bucket"),
+        *[F.col(c).alias(f"_s_{c}") for c in user_cols if c not in key_cols],
+    )
+    t = target.select(
+        *key_cols,
+        F.col(LSN_COL).alias("_t_lsn"),
+        F.col(DELETED_COL).alias("_t_deleted"),
+        F.col(BUCKET_COL).alias("_t_bucket"),
+        *[F.col(c).alias(f"_t_{c}") for c in user_cols if c not in key_cols],
+    )
+
+    j = t.join(s, on=key_cols, how="full_outer")
+
+    src_wins = F.col("_s_lsn").isNotNull() & (
+        F.col("_t_lsn").isNull() | (F.col("_s_lsn") > F.col("_t_lsn"))
+    )
+    is_delete = F.col("_s_op") == "delete"
+
+    out_cols = list(key_cols)
+    sel = [F.col(c) for c in key_cols]
+    for c in user_cols:
+        if c in key_cols:
+            continue
+        sel.append(F.when(src_wins, F.col(f"_s_{c}")).otherwise(F.col(f"_t_{c}")).alias(c))
+        out_cols.append(c)
+    sel.append(F.when(src_wins, F.col("_s_lsn")).otherwise(F.col("_t_lsn")).alias(LSN_COL))
+    sel.append(
+        F.when(src_wins, is_delete).otherwise(F.coalesce(F.col("_t_deleted"), F.lit(False))).alias(DELETED_COL)
+    )
+    sel.append(F.coalesce(F.col("_t_bucket"), F.col("_s_bucket")).alias(BUCKET_COL))
+    # lineage flags
+    sel.append((src_wins & ~is_delete).alias("_upserted"))
+    sel.append((src_wins & is_delete & F.col("_t_lsn").isNotNull() & ~F.coalesce(F.col("_t_deleted"), F.lit(False))).alias("_newly_deleted"))
+    sel.append((F.col("_s_lsn").isNotNull() & ~src_wins).alias("_late"))
+    sel.append(F.coalesce(F.col("_s_n") - 1, F.lit(0)).alias("_superseded"))
+
+    merged = j.select(*sel).persist()
+
+    lineage_rows = [
+        {
+            "batch_id": batch_id,
+            "partition_id": int(r["b"]),
+            "offset_start": offset_range[0],
+            "offset_end": offset_range[1],
+            "rows_upserted": int(r["ups"] or 0),
+            "rows_deleted": int(r["dels"] or 0),
+            "late_events": int(r["late"] or 0),
+            "out_of_order_events": int(r["ooo"] or 0),
+        }
+        for r in merged.groupBy(F.col(BUCKET_COL).alias("b"))
+        .agg(
+            F.sum(F.when(F.col("_upserted"), 1).otherwise(0)).alias("ups"),
+            F.sum(F.when(F.col("_newly_deleted"), 1).otherwise(0)).alias("dels"),
+            F.sum(F.when(F.col("_late"), 1).otherwise(0)).alias("late"),
+            F.sum("_superseded").alias("ooo"),
+        )
+        .collect()
+    ]
+
+    # keep only physical table columns, in schema order
+    final = merged.select(*[c for c in tschema.names])
+
+    version = table.commit(
+        spark,
+        final,
+        replaced_buckets=touched,
+        applied_range=offset_range,
+        batch_id=batch_id,
+        new_schema=tschema,
+        extra_properties={
+            "last_batch": {
+                "batch_id": batch_id,
+                "offset_range": list(offset_range),
+                "upserted": sum(r["rows_upserted"] for r in lineage_rows),
+                "deleted": sum(r["rows_deleted"] for r in lineage_rows),
+            }
+        },
+    )
+    merged.unpersist()
+    winners.unpersist()
+
+    wall = int((time.time() - t0) * 1000)
+    for r in lineage_rows:
+        r["wall_ms"] = wall
+    return BatchResult(batch_id, False, version, offset_range, lineage_rows, wall)

@@ -1,0 +1,70 @@
+"""Sync-task configuration.
+
+The PySpark analogue of estuary's task-config beans
+(``mysql/task/Mysql2MysqlTaskInfoBean.scala:14-35`` and
+``MysqlTaskInfoBeanImp.scala:17-50`` in /root/reference): everything a sync
+task needs — source log, target table, partitioning strategy, batch size,
+start position — expressed as a plain dataclass instead of a Spring bean.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Partition strategies, mirroring the reference's PartitionStrategy enum
+# (bean/key/PartitionStrategy.java:8-33; README.md:68-90 documents the
+# throughput ordering MOD >= PRIMARY_KEY >= DATABASE_TABLE >> TRANSACTION).
+# In Spark these pick the repartition key of the merge stage.
+PARTITION_MOD = "mod"                  # round-robin: spark default hash of all cols
+PARTITION_PRIMARY_KEY = "primary_key"  # hash(conv_id, turn_idx) — the default
+PARTITION_TABLE = "table"              # hash(table) — per-table ordering
+PARTITION_TRANSACTION = "transaction"  # single partition: full total order
+
+
+@dataclass
+class SyncConfig:
+    """Configuration for one CDC sync task (source log -> target table)."""
+
+    # source: directory of the ordered change-event log (parquet files)
+    source_log_dir: str
+    # target: LakeTable root directory
+    target_table_dir: str
+    # lineage/metrics table root (append-only parquet)
+    lineage_dir: str | None = None
+    # checkpoint file (JSON) for the batch-incremental driver
+    checkpoint_path: str | None = None
+
+    # key columns of the target table (estuary: primary-key string
+    # "$db@$tb@pk" — mysql/lifecycle/package.scala:121-131)
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+    # total-order column (estuary: BinlogPositionInfo journal+offset)
+    lsn_col: str = "lsn"
+    op_col: str = "op"
+
+    # micro-batch sizing: how many LSNs per batch in the batch driver
+    # (estuary: batchThreshold + 255-slot ring buffer / 300ms flush)
+    batch_lsn_range: int = 100_000
+
+    # bucketed layout of the target table: a micro-batch rewrites only
+    # touched buckets (bounded write amplification; Iceberg analogue is
+    # ``partitioned by bucket(N, conv_id)``)
+    n_buckets: int = 32
+
+    # skew handling: salt factor for the pre-merge local reduce
+    salt_factor: int = 8
+
+    partition_strategy: str = PARTITION_PRIMARY_KEY
+
+    # start position resolution (estuary C2: checkpoint -> supplied ->
+    # timestamp -> end). None = checkpoint else 0.
+    start_lsn: int | None = None
+    stop_at_lsn: int | None = None
+
+    # schema evolution: allow additive column adds at batch start
+    allow_schema_evolution: bool = True
+
+    # columns never projected into the target (event-envelope columns)
+    envelope_cols: tuple[str, ...] = ("lsn", "op", "commit_ts", "txn_id", "schema_ver")
+
+    extra: dict = field(default_factory=dict)

@@ -1,0 +1,72 @@
+"""Last-writer-wins dedupe/sequencing per key — the core CDC operator.
+
+The reference preserves per-key order structurally: a two-level
+consistent-hash route pins every primary key to one batcher -> one sinker
+actor, so events for one key apply in binlog order and the final value is
+the last one (``mysql/lifecycle/reborn/batch/imp/MysqlBinlogInOrderBatcherMysqlManager.scala:33-42``,
+``mysql/lifecycle/package.scala:96-134`` in /root/reference). In Spark the
+hash shuffle IS the router, and order is restored *declaratively*:
+``max_by(struct(values), lsn)`` per key — no mailbox, no pinning.
+
+Skew (north-rule axis): a hot conversation can put 10-30% of a batch's
+events on one key. ``salted_lww_reduce`` splits each key into
+``salt_factor`` sub-groups for a local pre-reduce, then reduces the (at
+most ``salt_factor``) survivors per key — the classic two-phase/salted
+aggregation. Catalyst's partial hash aggregation already performs a
+map-side combine for ``max_by``; the explicit salt stage additionally
+bounds the reduce-side per-key fan-in when a single key overflows one
+task's hash table, and is what the north rule asks to be explicit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def lww_reduce(
+    df: DataFrame,
+    key_cols: list[str],
+    lsn_col: str = "lsn",
+    salt_factor: int = 0,
+    op_col: str = "op",
+) -> DataFrame:
+    """Reduce a change-event DataFrame to one winning event per key.
+
+    Returns one row per key with the highest-LSN event's columns.
+    Ties on LSN (duplicate-event injection / replay) are broken by op
+    priority (delete > update > insert) then deterministically — duplicates
+    are verbatim copies so any choice is identical.
+
+    ``salt_factor > 1`` enables the explicit two-phase salted reduce.
+    """
+    payload = [c for c in df.columns if c not in key_cols]
+    # deterministic tie-break: struct comparison is lexicographic, so put
+    # (lsn, op_rank) first — equal-LSN duplicates are byte-identical rows
+    op_rank = (
+        F.when(F.col(op_col) == "delete", 2)
+        .when(F.col(op_col) == "update", 1)
+        .otherwise(0)
+        if op_col in df.columns
+        else F.lit(0)
+    )
+    ordering = F.struct(F.col(lsn_col).alias("_l"), op_rank.alias("_r"))
+
+    if salt_factor and salt_factor > 1:
+        salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(lsn_col)), F.lit(salt_factor)))
+        partial = salted.groupBy(*key_cols, "_salt").agg(
+            F.max_by(F.struct(*payload), ordering).alias("_w"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        final = partial.groupBy(*key_cols).agg(
+            F.max_by(
+                F.col("_w"),
+                F.struct(F.col(f"_w.{lsn_col}").alias("_l"), F.lit(0).alias("_r")),
+            ).alias("_w"),
+            F.sum("_n").alias("_n_events"),
+        )
+    else:
+        final = df.groupBy(*key_cols).agg(
+            F.max_by(F.struct(*payload), ordering).alias("_w"),
+            F.count(F.lit(1)).alias("_n_events"),
+        )
+    return final.select(*key_cols, "_w.*", "_n_events")

@@ -1,0 +1,293 @@
+"""LakeTable — a minimal bucketed lake-table format with atomic snapshot
+commits, built only on parquet + JSON manifests.
+
+This stands in for Iceberg (no Iceberg jars in this environment) and keeps
+the three Iceberg properties the engine's exactly-once design needs
+(SURVEY.md §2.7 C4):
+
+1. **Atomic snapshot commit** — a commit is one ``os.rename`` of a JSON
+   manifest; readers only ever see a complete snapshot. This is the Spark
+   analogue of estuary's one-JDBC-transaction-per-flush
+   (``core/source/MysqlHikariCpConnection.scala:56-76``).
+2. **Snapshot properties carrying the applied source offset range** — the
+   manifest records every applied ``[lsn_lo, lsn_hi]`` range, so a replayed
+   micro-batch is detected and skipped (idempotent re-commit), which is how
+   estuary's at-least-once replay window (delayed ZooKeeper offsets,
+   ``SourceDataPositionRecorder.scala:37-44``) becomes exactly-once here.
+3. **Bucketed layout + file-level pruning** — data files are grouped by
+   ``bucket = pmod(xxhash64(conv_id), n_buckets)`` (Iceberg
+   ``bucket(N, conv_id)`` analogue); a micro-batch rewrites only the
+   buckets it touches, bounding copy-on-write amplification at 100 TB
+   scale (raise ``n_buckets`` with table size so each bucket stays
+   ~file-sized).
+
+Additive schema evolution: the manifest schema is the source of truth;
+older data files simply lack new columns and are read as NULL via an
+explicit read schema (Iceberg add-column semantics,
+``MysqlTableSchemaHolder.scala:79-101`` analogue).
+
+Single-writer by design (one sync task owns a table), matching the
+reference's one-controller-per-task model.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+MANIFEST_DIR = "_manifests"
+DATA_DIR = "data"
+BUCKET_COL = "_bucket"
+LSN_COL = "_lsn"
+DELETED_COL = "_deleted"
+
+
+def bucket_expr(key_col: str, n_buckets: int):
+    """Deterministic bucket id for a key column (stable across sessions)."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+def _merge_ranges(ranges: list[list[int]]) -> list[list[int]]:
+    """Merge overlapping/adjacent [lo, hi] (inclusive) ranges."""
+    out: list[list[int]] = []
+    for lo, hi in sorted(ranges):
+        if out and lo <= out[-1][1] + 1:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return out
+
+
+class LakeTable:
+    """A bucketed, snapshot-versioned parquet table."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self._mdir = os.path.join(root, MANIFEST_DIR)
+
+    # ---------------------------------------------------------- snapshots
+
+    def current_version(self) -> int:
+        if not os.path.isdir(self._mdir):
+            return -1
+        versions = [
+            int(f[1:-5])
+            for f in os.listdir(self._mdir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions, default=-1)
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"no snapshots in {self.root}")
+        with open(os.path.join(self._mdir, f"v{v:010d}.json")) as fh:
+            return json.load(fh)
+
+    def exists(self) -> bool:
+        return self.current_version() >= 0
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.manifest()["schema"])
+
+    def properties(self) -> dict:
+        return self.manifest().get("properties", {})
+
+    def applied_ranges(self) -> list[list[int]]:
+        return self.properties().get("applied_ranges", [])
+
+    def is_range_applied(self, lo: int, hi: int) -> bool:
+        """True if [lo, hi] is fully inside an already-applied LSN range."""
+        return any(rlo <= lo and hi <= rhi for rlo, rhi in self.applied_ranges())
+
+    # ------------------------------------------------------------ create
+
+    @staticmethod
+    def create(root: str, schema: T.StructType, n_buckets: int, key_cols: list[str]) -> "LakeTable":
+        """Create an empty table (snapshot v0). Schema is user columns only;
+        ``_lsn`` and ``_bucket`` system columns are appended automatically."""
+        t = LakeTable(root)
+        os.makedirs(t._mdir, exist_ok=True)
+        os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
+        full = T.StructType(list(schema.fields))
+        if LSN_COL not in full.names:
+            full = full.add(LSN_COL, T.LongType())
+        if DELETED_COL not in full.names:
+            # tombstones are soft-deleted rows folded out at read time, so
+            # a late (lower-LSN) cross-batch update can never resurrect a
+            # deleted key — the _lsn guard still has a row to compare with
+            full = full.add(DELETED_COL, T.BooleanType())
+        if BUCKET_COL not in full.names:
+            full = full.add(BUCKET_COL, T.IntegerType())
+        t._write_manifest(
+            {
+                "version": 0,
+                "parent": None,
+                "schema": full.jsonValue(),
+                "key_cols": key_cols,
+                "n_buckets": n_buckets,
+                "files": {},
+                "properties": {"applied_ranges": [], "batch_ids": []},
+            }
+        )
+        return t
+
+    def _write_manifest(self, m: dict) -> None:
+        v = m["version"]
+        tmp = os.path.join(self._mdir, f".tmp-{uuid.uuid4().hex}.json")
+        final = os.path.join(self._mdir, f"v{v:010d}.json")
+        if os.path.exists(final):
+            raise RuntimeError(f"snapshot v{v} already exists (concurrent writer?)")
+        with open(tmp, "w") as fh:
+            json.dump(m, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, final)  # atomic commit point
+
+    # -------------------------------------------------------------- read
+
+    def read(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
+        """Read the current snapshot; ``buckets`` prunes at the file level
+        (the manifest knows every file's bucket — no directory listing, no
+        footer reads for pruned buckets). Tombstoned rows are folded out
+        unless ``include_tombstones`` (the merge path needs them for the
+        LSN guard)."""
+        m = self.manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        files: list[str] = []
+        for b, fl in m["files"].items():
+            if buckets is None or int(b) in buckets:
+                files.extend(os.path.join(self.root, f) for f in fl)
+        if not files:
+            df = spark.createDataFrame([], schema)
+        else:
+            # explicit schema => files from pre-evolution snapshots yield
+            # NULL for later-added columns (additive evolution)
+            df = spark.read.schema(schema).parquet(*files)
+        if not include_tombstones and DELETED_COL in df.columns:
+            df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
+        return df
+
+    # ------------------------------------------------------------ commit
+
+    def commit(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        replaced_buckets: list[int],
+        applied_range: tuple[int, int] | None,
+        batch_id: int | None,
+        new_schema: T.StructType | None = None,
+        extra_properties: dict | None = None,
+    ) -> int:
+        """Copy-on-write commit: write ``df`` (which must contain all rows
+        for ``replaced_buckets`` and only those buckets), then publish a
+        manifest where those buckets' files are replaced and the applied
+        LSN range is fused into the snapshot properties.
+
+        Crash safety: data files are written before the manifest rename;
+        a crash leaves only unreferenced files (cleaned by ``vacuum``).
+        """
+        m = self.manifest()
+        version = m["version"] + 1
+        schema = new_schema if new_schema is not None else T.StructType.fromJson(m["schema"])
+
+        commit_rel = os.path.join(DATA_DIR, f"commit-{version:010d}")
+        commit_dir = os.path.join(self.root, commit_rel)
+
+        # write one directory per commit, hive-partitioned by bucket; the
+        # partition column is a throwaway copy so _bucket stays in the data
+        out = df.withColumn("_bp", F.col(BUCKET_COL))
+        out.write.partitionBy("_bp").mode("overwrite").parquet(commit_dir)
+
+        # collect produced files per bucket from the filesystem (driver-side
+        # listing is O(#touched buckets), not O(rows))
+        new_files: dict[str, list[str]] = {}
+        for entry in os.listdir(commit_dir):
+            if not entry.startswith("_bp="):
+                continue
+            b = str(int(entry.split("=", 1)[1]))
+            bdir = os.path.join(commit_dir, entry)
+            new_files[b] = [
+                os.path.join(commit_rel, entry, f)
+                for f in os.listdir(bdir)
+                if f.endswith(".parquet")
+            ]
+
+        files = {b: fl for b, fl in m["files"].items() if int(b) not in replaced_buckets}
+        for b, fl in new_files.items():
+            files[b] = fl
+
+        props = dict(m.get("properties", {}))
+        ranges = [list(r) for r in props.get("applied_ranges", [])]
+        if applied_range is not None:
+            ranges.append([int(applied_range[0]), int(applied_range[1])])
+        props["applied_ranges"] = _merge_ranges(ranges)
+        if batch_id is not None:
+            props["batch_ids"] = props.get("batch_ids", []) + [batch_id]
+        if extra_properties:
+            props.update(extra_properties)
+
+        self._write_manifest(
+            {
+                "version": version,
+                "parent": m["version"],
+                "schema": schema.jsonValue(),
+                "key_cols": m["key_cols"],
+                "n_buckets": m["n_buckets"],
+                "files": files,
+                "properties": props,
+            }
+        )
+        return version
+
+    def evolve_schema(self, new_schema: T.StructType) -> int:
+        """Additive schema evolution between micro-batches (metadata-only
+        commit — the DDL-barrier analogue, SURVEY.md D4: schema changes
+        apply when the pipeline is drained, i.e. between batches)."""
+        m = self.manifest()
+        old = T.StructType.fromJson(m["schema"])
+        merged = T.StructType(list(old.fields))
+        for f in new_schema.fields:
+            if f.name not in merged.names:
+                merged = merged.add(f.name, f.dataType, True)
+        version = m["version"] + 1
+        self._write_manifest(
+            {
+                "version": version,
+                "parent": m["version"],
+                "schema": merged.jsonValue(),
+                "key_cols": m["key_cols"],
+                "n_buckets": m["n_buckets"],
+                "files": m["files"],
+                "properties": m.get("properties", {}),
+            }
+        )
+        return version
+
+    # ------------------------------------------------------------- vacuum
+
+    def vacuum(self) -> int:
+        """Delete data files not referenced by the current snapshot.
+        Returns the number of files removed. (Old snapshots become
+        unreadable — run only when time travel is not needed.)"""
+        m = self.manifest()
+        live = {os.path.join(self.root, f) for fl in m["files"].values() for f in fl}
+        removed = 0
+        droot = os.path.join(self.root, DATA_DIR)
+        for dirpath, _dirnames, filenames in os.walk(droot):
+            for fn in filenames:
+                p = os.path.join(dirpath, fn)
+                if p not in live and (fn.endswith(".parquet") or fn.startswith("_")):
+                    os.remove(p)
+                    removed += 1
+        return removed
