@@ -1,0 +1,81 @@
+"""Structured Streaming front-end: tail the change log as a file stream
+and apply each micro-batch through the same ``apply_batch`` core.
+
+estuary mapping (SURVEY.md §2.1 S1/S3, §3.2): the binlog dump protocol +
+blocking fetch loop become ``spark.readStream`` over the ordered log; the
+ring-buffer flush cadence becomes the trigger; ``foreachBatch`` is the
+drained-pipeline boundary where DDL (schema reconciliation) and the
+atomic MERGE commit happen. ``MERGE`` has no direct streaming sink, so
+``foreachBatch`` is the idiomatic bridge (SURVEY.md §7.4.5).
+
+Exactly-once: Spark's checkpoint WAL gives at-least-once file replay; the
+LakeTable's applied-offset-range properties turn a replayed batch into a
+no-op, and LWW-by-LSN makes the pipeline order-insensitive — file batches
+may arrive in any order and still converge to the same table state.
+
+On a real cluster the same code runs with a Kafka source: swap
+``readStream.parquet`` for ``readStream.format("kafka")`` + a payload
+decode (see functions/transcripts.py) — the apply core is source-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from estuary_spark.apply import apply_batch
+from estuary_spark.config import SyncConfig
+from estuary_spark.generator import read_log
+from estuary_spark.lineage import append_lineage
+from estuary_spark.runner import open_or_create_table
+
+
+def run_sync_streaming(
+    spark: SparkSession,
+    cfg: SyncConfig,
+    checkpoint_location: str,
+    max_files_per_trigger: int = 2,
+    available_now: bool = True,
+    processing_time: str | None = None,
+) -> dict:
+    """Run the sync task as a streaming query. With ``available_now`` the
+    query drains the current log and stops (deterministic; used by tests);
+    with ``processing_time`` it tails the log continuously."""
+    static = read_log(spark, cfg.source_log_dir)
+    table = open_or_create_table(spark, cfg, static)
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("recursiveFileLookup", "true")
+        .parquet(cfg.source_log_dir)
+    )
+
+    stats = {"batches": 0, "skipped": 0, "upserted": 0, "deleted": 0}
+
+    def handle(batch_df, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        res = apply_batch(sess, table, batch_df, cfg, int(batch_id), offset_range=None)
+        stats["batches"] += 1
+        if res.skipped:
+            stats["skipped"] += 1
+            return
+        stats["upserted"] += sum(r["rows_upserted"] for r in res.lineage)
+        stats["deleted"] += sum(r["rows_deleted"] for r in res.lineage)
+        if cfg.lineage_dir:
+            append_lineage(sess, cfg.lineage_dir, res.lineage)
+
+    writer = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_location)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    else:
+        return {"query": q, **stats}
+    return stats
