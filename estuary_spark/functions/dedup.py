@@ -1,0 +1,273 @@
+"""Deduplication operators for large-scale corpora.
+
+Five families, all shuffle-aware:
+
+* exact        — hash-groupBy on a normalized-content digest; one shuffle,
+                 map-side partial agg; scales linearly.
+* minhash LSH  — shingle -> k minhashes -> band buckets -> bucket join;
+                 the candidate join is an equi-join on (band, hash), so
+                 Spark's hash shuffle does the candidate generation; no
+                 O(n^2) pair explosion.
+* simhash      — 64-bit sign-aggregate of token hashes; near-dups share
+                 close hamming distance; banded by 16-bit chunks for
+                 candidate generation.
+* n-gram jaccard — exact set-overlap verification (used to confirm LSH
+                 candidates, or standalone within small blocks).
+* embedding    — cosine >= threshold on an embedding column (see
+                 similarity.py for the top-k/ANN variants).
+
+All JVM-side expressions (xxhash64, higher-order array functions) — no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from estuary_spark.functions.text import normalize_text, tokens
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (after normalization) documents.
+    Returns (fingerprint, n_dups, keep_id) for groups with >= 2 docs."""
+    return (
+        df.select(F.md5(normalize_text(F.col(text_col))).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per normalized-content fingerprint."""
+    w = F.md5(normalize_text(F.col(text_col))).alias("_fp")
+    ranked = df.withColumn("_fp", w).groupBy("_fp").agg(
+        F.min_by(F.struct(*df.columns), F.col(id_col)).alias("_keep")
+    )
+    return ranked.select("_keep.*")
+
+
+# ----------------------------------------------------------------- shingles
+
+def shingles(col: Column, k: int = 5) -> Column:
+    """Character k-gram shingle set of the normalized text (distinct)."""
+    norm = normalize_text(col)
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, k)))
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Word n-gram set (distinct)."""
+    toks = tokens(col)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+# ------------------------------------------------------------------ minhash
+
+def minhash_signature(col: Column, num_hashes: int = 32, k: int = 5) -> Column:
+    """Array of ``num_hashes`` minhash values over the k-shingle set.
+
+    Each hash family member is xxhash64(shingle, seed=i); the min over the
+    shingle set approximates Jaccard similarity (Broder 1997).
+    """
+    sh = shingles(col, k)
+
+    def hash_i(i: int):
+        # NB: closure factory, not a default arg — PySpark counts default
+        # params in the lambda arity and would pass the array index instead
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, hash_i(i))) for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded minhash LSH.
+
+    rows/bands tuning: r = num_hashes/bands rows per band; the usual
+    S-curve threshold is (1/bands)^(1/r). Returns (id_a, id_b) distinct,
+    id_a < id_b. The band-bucket equi-join is a plain hash-shuffle join —
+    the scale path (no cross join anywhere).
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"), minhash_signature(F.col(text_col), num_hashes, k).alias("_sig")
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at(F.col("_sig"), b * rows + r_ + 1).cast("string") for r_ in range(rows)])
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bhash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "bhash"], how="inner")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(col_a: Column, col_b: Column) -> Column:
+    """Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(col_a, col_b))
+    union = F.size(col_a) + F.size(col_b) - inter
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """LSH candidates verified by exact shingle Jaccard >= threshold."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k)
+    sh = df.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh"))
+    j = (
+        cands.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+        .withColumn("jaccard", jaccard(F.col("_sh_a"), F.col("_sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return j
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash64(col: Column, k_tokens: int = 0) -> Column:
+    """64-bit SimHash of the word-token multiset (Charikar 2002).
+
+    For each bit b, sum +1/-1 weighted by whether xxhash64(token) has bit b
+    set; the sign of the sum gives bit b of the fingerprint. Computed with
+    higher-order functions entirely JVM-side: for each token we add its
+    hash's bit vector; implemented as 64 aggregates over the token array.
+    """
+    toks = tokens(col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # bit b counter: sum over tokens of (2*bit - 1); sign -> bit b set
+    def bit_counter(b: int):
+        # closure factory (see minhash_signature note on lambda arity)
+        return lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        cnt = F.aggregate(hashes, F.lit(0).cast("long"), bit_counter(b))
+        bit = F.when(cnt > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        out = out.bitwiseOR(F.shiftleft(bit, b))
+    return out
+
+
+def simhash_bands(col: Column, band_bits: int = 16) -> Column:
+    """Split a simhash into bands for candidate blocking (hamming-LSH)."""
+    sh = simhash64(col)
+    nb = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    return F.array(
+        *[F.shiftright(sh, i * band_bits).bitwiseAND(F.lit(mask)) for i in range(nb)]
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup pairs: docs sharing any simhash band, verified by hamming
+    distance <= max_hamming."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        simhash64(F.col(text_col)).alias("_sh"),
+    ).withColumn(
+        "_bands",
+        F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftright(F.col("_sh"), i * band_bits).bitwiseAND(F.lit((1 << band_bits) - 1)).alias("val"))
+            for i in range(64 // band_bits)
+        ]),
+    )
+    banded = base.select("_id", "_sh", F.explode("_bands").alias("bb")).select(
+        "_id", "_sh", "bb.band", "bb.val"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band", "val"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming64(F.col("a._sh"), F.col("b._sh")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------------------ embedding dup
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force within blocks).
+
+    Blocks by sign-bits of a few components to avoid full O(n^2) at scale;
+    exact cosine verification inside blocks. For true ANN see
+    similarity.lsh_ann / similarity.cosine_topk.
+    """
+    from estuary_spark.functions.similarity import cosine
+
+    sign_block = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(4)
+        ],
+    )
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sign_block.alias("_blk"))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, on=["_blk"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .withColumn("cos", cosine(F.col("a._v"), F.col("b._v")))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "cos")
+    )

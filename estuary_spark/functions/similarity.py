@@ -1,0 +1,189 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+* ``cosine_topk``  — exact brute-force top-k: queries × corpus with the
+  dot product as a built-in higher-order expression (``zip_with`` +
+  ``aggregate``), then a per-query window top-k. The corpus side stays
+  partitioned; the (small) query side is broadcast — the classic
+  scale shape for exact scoring.
+* ``lsh_ann_topk`` — hyperplane-LSH bucketed approximate variant: each
+  vector gets a sign-bit signature from deterministic pseudo-random
+  hyperplanes; candidates share a bucket (equi-join, hash shuffle), then
+  exact cosine re-ranks. The scale path: shuffle is O(n), not O(n*q).
+* ``ivf_topk``     — IVF-style: k-means-lite centroids (driver-side fit on
+  a bounded sample), cluster assignment JVM-side, probe the nprobe nearest
+  clusters only.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries``: (query_id, embedding). Broadcast (queries are few);
+    corpus scan stays partition-parallel; per-query top-k via window.
+    """
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+    scored = c.crossJoin(F.broadcast(q)).withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (public LCG recipe —
+    no numpy RNG state, reproducible everywhere)."""
+    planes = []
+    state = seed * 6364136223846793005 + 1442695040888963407
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            # map to (-1, 1)
+            v.append((state / float(1 << 63)) * 2.0 - 1.0)
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from hyperplane dot products (JVM-side)."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.when(dot(vec, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's LSH bucket
+    (or hamming-1 neighbor buckets) are scored."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv")).withColumn(
+        "bucket", lsh_signature(F.col("_cv"), planes)
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv")).withColumn(
+        "bucket", lsh_signature(F.col("_qv"), planes)
+    )
+    # probe the exact bucket + all hamming-1 buckets (multi-probe LSH)
+    probes = F.array(F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
+    q = q.withColumn("bucket", F.explode(probes))
+    scored = c.join(F.broadcast(q), on="bucket").withColumn(
+        "cos", cosine(F.col("_qv"), F.col("_cv"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    sample_size: int = 2048,
+    iters: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flat ANN: fit centroids on a bounded driver-side sample
+    (k-means-lite), assign corpus vectors to nearest centroid JVM-side,
+    and probe only the ``nprobe`` nearest cells per query.
+
+    At 100 TB the centroid fit stays O(sample); assignment is one narrow
+    map; the probe join is an equi-join on cluster id.
+    """
+    import numpy as np
+
+    sample = np.array(
+        [r[0] for r in corpus.select(vec_col).limit(sample_size).collect()],
+        dtype="float64",
+    )
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for ci in range(len(cents)):
+            m = sample[assign == ci]
+            if len(m):
+                cents[ci] = m.mean(0)
+
+    def nearest_cluster(vec: Column, topn: int) -> Column:
+        dists = []
+        for ci, cv in enumerate(cents):
+            cvec = F.array(*[F.lit(float(x)) for x in cv])
+            d2 = F.aggregate(
+                F.zip_with(vec, cvec, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            dists.append(F.struct(d2.alias("d"), F.lit(ci).alias("c")))
+        arr = F.array_sort(F.array(*dists))
+        return F.transform(F.slice(arr, 1, topn), lambda s: s["c"])
+
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv")).withColumn(
+        "cluster", F.element_at(nearest_cluster(F.col("_cv"), 1), 1)
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv")).withColumn(
+        "cluster", F.explode(nearest_cluster(F.col("_qv"), nprobe))
+    )
+    scored = c.join(F.broadcast(q), on="cluster").withColumn(
+        "cos", cosine(F.col("_qv"), F.col("_cv"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+    )
