@@ -23,6 +23,14 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ships as a single parquet file -> 1 input partition; the
+    text-heavy operators need an explicit repartition to use all cores."""
+    return _load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # --------------------------------------------------------------------------
 # CDC log derived deterministically from the `events` table, so the DuckDB
 # oracle can reproduce the fold from the same input. Mapping:
@@ -214,14 +222,14 @@ def q_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from estuary_spark.functions.dedup import exact_dup_groups
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return exact_dup_groups(docs).select("fingerprint", "n_dups", "keep_id")
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from estuary_spark.functions import text as TX
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     c = F.col("text")
     return docs.select(
         "doc_id",
@@ -237,14 +245,14 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from estuary_spark.functions import text as TX
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", "lang", TX.lang_id(F.col("text")).alias("lang_pred"))
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from estuary_spark.functions import text as TX
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         TX.fingerprint_md5(F.col("text")).alias("fp_md5"),
@@ -256,7 +264,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3gram Jaccard over all doc pairs with sim >= 0.2."""
     from estuary_spark.functions.dedup import jaccard, word_ngrams
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     g = docs.select(F.col("doc_id"), word_ngrams(F.col("text"), 3).alias("_g"))
     a = g.select(F.col("doc_id").alias("id_a"), F.col("_g").alias("_ga"))
     b = g.select(F.col("doc_id").alias("id_b"), F.col("_g").alias("_gb"))
@@ -274,14 +282,14 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-verified SQL-checkable variant)."""
     from estuary_spark.functions.dedup import minhash_dedup_pairs
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return minhash_dedup_pairs(docs, threshold=0.5)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from estuary_spark.functions.dedup import simhash_candidates
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return simhash_candidates(docs, max_hamming=8)
 
 

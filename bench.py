@@ -1,0 +1,180 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline: sustained CDC merge-apply throughput (change-events/sec) of the
+incremental engine on a synthetic transcript change log scaled to the sf
+of ``$SPARK_GRAFT_SF_DIR``, plus wall times for representative queries at
+that sf. ``value`` is total seconds across the headline stages.
+
+Modes for the two-cluster-size scaling evidence (tools/scaling_bench.py):
+  --gen-only    generate the shared CDC log and exit
+  --apply-only  run only the merge-apply stage against a pre-generated log
+  --cpus N      override local[N] / shuffle partitions
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def log_spec_for(sf: float):
+    from estuary_spark.generator import LogSpec
+
+    # ~1.4M events at sf=0.1 (scales linearly; deterministic seed)
+    n_convs = max(200, int(600_000 * sf))
+    return LogSpec(
+        n_convs=n_convs,
+        max_turns=16,
+        base_versions=4,
+        n_hot=max(2, n_convs // 1000),
+        hot_versions=64,
+        seed=42,
+    )
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_dirs(sf: float) -> dict:
+    root = os.environ.get("ESTUARY_BENCH_DIR", f"/tmp/estuary-bench-sf{sf}")
+    return {
+        "root": root,
+        "log": os.path.join(root, "log"),
+        "table": os.path.join(root, "table"),
+        "lineage": os.path.join(root, "lineage"),
+    }
+
+
+def generate(spark, sf: float, dirs: dict) -> int:
+    from estuary_spark.generator import generate_log, write_log
+
+    if os.path.exists(os.path.join(dirs["log"], "_SUCCESS")):
+        return spark.read.parquet(dirs["log"]).count()
+    os.makedirs(dirs["root"], exist_ok=True)
+    spec = log_spec_for(sf)
+    write_log(spark, spec, dirs["log"], n_files=32)
+    return spark.read.parquet(dirs["log"]).count()
+
+
+def run_apply(spark, dirs: dict, cpus: int) -> dict:
+    from estuary_spark.config import SyncConfig
+    from estuary_spark.runner import run_sync
+
+    for d in (dirs["table"], dirs["lineage"]):
+        shutil.rmtree(d, ignore_errors=True)
+    cfg = SyncConfig(
+        source_log_dir=dirs["log"],
+        target_table_dir=dirs["table"],
+        lineage_dir=dirs["lineage"],
+        n_buckets=max(32, cpus),
+        salt_factor=8,
+    )
+    t0 = time.time()
+    summary = run_sync(spark, cfg, events_per_batch=250_000)
+    wall = time.time() - t0
+    return {"wall": wall, "upserted": summary.rows_upserted, "batches": summary.batches_run}
+
+
+def timed_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as E
+
+    out = {}
+    picks = [
+        "cdc_fold_declarative",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_supplier_volume",
+        "top_orders_per_customer",
+        "sessionize",
+        "dedup_exact",
+        "text_quality",
+        "lang_id",
+        "minhash_pairs",
+        "simhash_pairs",
+        "embedding_topk",
+        "ann_lsh_topk",
+    ]
+    qs = E.queries()
+    for name in picks:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--gen-only", action="store_true")
+    ap.add_argument("--apply-only", action="store_true")
+    args = ap.parse_args()
+
+    from estuary_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = sf_of(sf_dir)
+    dirs = bench_dirs(sf)
+
+    spark = get_spark("estuary-bench", cores=cpus, shuffle_partitions=cpus)
+
+    t_gen0 = time.time()
+    n_events = generate(spark, sf, dirs)
+    t_gen = time.time() - t_gen0
+
+    if args.gen_only:
+        print(json.dumps({"metric": "gen", "events": n_events, "sec": round(t_gen, 2)}))
+        return
+
+    apply_res = run_apply(spark, dirs, cpus)
+    eps = n_events / apply_res["wall"]
+
+    if args.apply_only:
+        print(
+            json.dumps(
+                {
+                    "metric": "cdc_merge_apply",
+                    "cpus": cpus,
+                    "events": n_events,
+                    "sec": round(apply_res["wall"], 2),
+                    "events_per_sec": round(eps, 1),
+                    "batches": apply_res["batches"],
+                }
+            )
+        )
+        return
+
+    queries = {"cdc_apply": round(apply_res["wall"], 3)}
+    queries.update(timed_queries(spark, sf_dir))
+
+    total = sum(queries.values())
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_merge_apply_plus_queries_wall",
+                "value": round(total, 2),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "cdc_events": n_events,
+                "cdc_events_per_sec": round(eps, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -26,8 +26,18 @@ Scale notes (100 TB / 10^10 events):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
+
+_PROFILE = os.environ.get("ESTUARY_PROFILE", "") == "1"
+
+
+def _tick(label: str, t0: float) -> float:
+    now = time.time()
+    if _PROFILE:
+        print(f"    [apply {label}] {now - t0:.2f}s", flush=True)
+    return now
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -90,6 +100,8 @@ def apply_batch(
             return BatchResult(batch_id, True, None, None, [], int((time.time() - t0) * 1000))
         offset_range = (int(row["lo"]), int(row["hi"]))
 
+    _pt = _tick("offset-range", t0)
+
     # ---- exactly-once: skip a fully-applied (replayed) offset range
     if table.is_range_applied(*offset_range):
         return BatchResult(batch_id, True, None, offset_range, [], int((time.time() - t0) * 1000))
@@ -118,6 +130,7 @@ def apply_batch(
     winners = winners.withColumn(BUCKET_COL, bucket_expr(key_cols[0], table.manifest()["n_buckets"]))
     winners = winners.persist()
     touched = [r[BUCKET_COL] for r in winners.select(BUCKET_COL).distinct().collect()]
+    _pt = _tick("lww+touched", _pt)
     if not touched:
         winners.unpersist()
         return BatchResult(batch_id, True, None, offset_range, [], int((time.time() - t0) * 1000))
@@ -160,14 +173,23 @@ def apply_batch(
         F.when(src_wins, is_delete).otherwise(F.coalesce(F.col("_t_deleted"), F.lit(False))).alias(DELETED_COL)
     )
     sel.append(F.coalesce(F.col("_t_bucket"), F.col("_s_bucket")).alias(BUCKET_COL))
-    # lineage flags
-    sel.append((src_wins & ~is_delete).alias("_upserted"))
-    sel.append((src_wins & is_delete & F.col("_t_lsn").isNotNull() & ~F.coalesce(F.col("_t_deleted"), F.lit(False))).alias("_newly_deleted"))
-    sel.append((F.col("_s_lsn").isNotNull() & ~src_wins).alias("_late"))
-    sel.append(F.coalesce(F.col("_s_n") - 1, F.lit(0)).alias("_superseded"))
 
-    merged = j.select(*sel).persist()
+    merged = j.select(*sel)
+    _pt = _tick("merge-plan", _pt)
 
+    # ---- lineage (M1) from a NARROW join: only (key, lsn, deleted, bucket)
+    # columns — parquet column pruning makes the target side cheap, so the
+    # full-width merge below runs exactly once (in the commit write) instead
+    # of being materialized twice through a persist.
+    t_n = target.select(*key_cols, F.col(LSN_COL).alias("_t_lsn"), F.col(DELETED_COL).alias("_t_deleted"))
+    s_n = winners.select(
+        *key_cols,
+        F.col("lsn").alias("_s_lsn"),
+        (F.col("op") == "delete").alias("_s_del"),
+        F.col("_n_events").alias("_s_n"),
+        F.col(BUCKET_COL).alias("_s_bucket"),
+    )
+    n_src_wins = F.col("_t_lsn").isNull() | (F.col("_s_lsn") > F.col("_t_lsn"))
     lineage_rows = [
         {
             "batch_id": batch_id,
@@ -179,15 +201,25 @@ def apply_batch(
             "late_events": int(r["late"] or 0),
             "out_of_order_events": int(r["ooo"] or 0),
         }
-        for r in merged.groupBy(F.col(BUCKET_COL).alias("b"))
+        for r in s_n.join(t_n, on=key_cols, how="left")
+        .groupBy(F.col("_s_bucket").alias("b"))
         .agg(
-            F.sum(F.when(F.col("_upserted"), 1).otherwise(0)).alias("ups"),
-            F.sum(F.when(F.col("_newly_deleted"), 1).otherwise(0)).alias("dels"),
-            F.sum(F.when(F.col("_late"), 1).otherwise(0)).alias("late"),
-            F.sum("_superseded").alias("ooo"),
+            F.sum(F.when(n_src_wins & ~F.col("_s_del"), 1).otherwise(0)).alias("ups"),
+            F.sum(
+                F.when(
+                    n_src_wins
+                    & F.col("_s_del")
+                    & F.col("_t_lsn").isNotNull()
+                    & ~F.coalesce(F.col("_t_deleted"), F.lit(False)),
+                    1,
+                ).otherwise(0)
+            ).alias("dels"),
+            F.sum(F.when(F.col("_t_lsn").isNotNull() & ~n_src_wins, 1).otherwise(0)).alias("late"),
+            F.sum(F.col("_s_n") - 1).alias("ooo"),
         )
         .collect()
     ]
+    _pt = _tick("lineage-agg", _pt)
 
     # keep only physical table columns, in schema order
     final = merged.select(*[c for c in tschema.names])
@@ -208,7 +240,7 @@ def apply_batch(
             }
         },
     )
-    merged.unpersist()
+    _pt = _tick("commit", _pt)
     winners.unpersist()
 
     wall = int((time.time() - t0) * 1000)

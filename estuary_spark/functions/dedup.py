@@ -89,6 +89,48 @@ def minhash_signature(col: Column, num_hashes: int = 32, k: int = 5) -> Column:
     )
 
 
+# Odd multipliers / offsets for the universal-hash family h_i = a_i*h + b_i
+# (mod 2^64 via JVM long wraparound) — splitmix64-style constants.
+_MINHASH_A = 0x9E3779B97F4A7C15
+_MINHASH_B = 0xBF58476D1CE4E5B9
+
+
+def minhash_signature_fast(hashes_col: Column, num_hashes: int = 32) -> Column:
+    """Minhash signature from a PRE-MATERIALIZED base-hash array column.
+
+    Hashing each shingle string once and deriving the k family members via
+    XOR with per-member constants (a bijection on 64-bit values, and safe
+    under ANSI arithmetic — no overflow) avoids Catalyst re-evaluating the
+    shingle/xxhash subtree k times — the difference between O(len) and
+    O(k*len) string work per row.
+    """
+
+    def signed64(x: int) -> int:
+        x &= (1 << 64) - 1
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    def mix(i: int):
+        c_lit = F.lit(signed64(_MINHASH_A * (2 * i + 1) ^ _MINHASH_B * (i + 3))).cast("long")
+        return lambda h: h.bitwiseXOR(c_lit)
+
+    return F.array(
+        *[F.array_min(F.transform(hashes_col, mix(i))) for i in range(num_hashes)]
+    )
+
+
+def shingle_set(col: Column, mode: str = "word", k: int = 5, n: int = 3) -> Column:
+    """Shingle set used by minhash: word n-grams (default — discriminative
+    on natural text, the C4/Gopher-style choice) or char k-grams."""
+    return word_ngrams(col, n) if mode == "word" else shingles(col, k)
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, mode: str, k: int, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("_id"),
+        shingle_set(F.col(text_col), mode, k, n).alias("_sh"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -96,6 +138,9 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     k: int = 5,
+    shingle_mode: str = "word",
+    ngram_n: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded minhash LSH.
 
@@ -105,9 +150,11 @@ def minhash_lsh_candidates(
     the scale path (no cross join anywhere).
     """
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"), minhash_signature(F.col(text_col), num_hashes, k).alias("_sig")
-    )
+    base_sh = shingled if shingled is not None else _shingled(df, text_col, id_col, shingle_mode, k, ngram_n)
+    # materialize base shingle hashes once, then derive the family via XOR
+    # (see minhash_signature_fast)
+    base = base_sh.select("_id", F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_hs"))
+    sig = base.select("_id", minhash_signature_fast(F.col("_hs"), num_hashes).alias("_sig"))
     banded = sig.select(
         "_id",
         F.explode(
@@ -149,13 +196,20 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     k: int = 5,
+    shingle_mode: str = "word",
+    ngram_n: int = 3,
 ) -> DataFrame:
-    """LSH candidates verified by exact shingle Jaccard >= threshold."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k)
-    sh = df.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh"))
+    """LSH candidates verified by exact shingle Jaccard >= threshold.
+
+    The shingle set is computed once and persisted — candidates derive
+    from its hashes; verification joins it back by id (no re-shingling)."""
+    sh = _shingled(df, text_col, id_col, shingle_mode, k, ngram_n).persist()
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, k, shingle_mode, ngram_n, shingled=sh
+    )
     j = (
-        cands.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
-        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+        cands.join(sh.withColumnsRenamed({"_id": "id_a", "_sh": "_sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"_id": "id_b", "_sh": "_sh_b"}), "id_b")
         .withColumn("jaccard", jaccard(F.col("_sh_a"), F.col("_sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -175,7 +229,14 @@ def simhash64(col: Column, k_tokens: int = 0) -> Column:
     """
     toks = tokens(col)
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # bit b counter: sum over tokens of (2*bit - 1); sign -> bit b set
+    return simhash64_from_hashes(hashes)
+
+
+def simhash64_from_hashes(hashes: Column) -> Column:
+    """SimHash from a (preferably pre-materialized) token-hash array —
+    materializing the hash array once avoids re-tokenizing/re-hashing the
+    text for each of the 64 bit aggregates."""
+
     def bit_counter(b: int):
         # closure factory (see minhash_signature note on lambda arity)
         return lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
@@ -211,9 +272,13 @@ def simhash_candidates(
 ) -> DataFrame:
     """Near-dup pairs: docs sharing any simhash band, verified by hamming
     distance <= max_hamming."""
-    base = df.select(
+    hashed = df.select(
         F.col(id_col).alias("_id"),
-        simhash64(F.col(text_col)).alias("_sh"),
+        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_hs"),
+    )
+    base = hashed.select(
+        "_id",
+        simhash64_from_hashes(F.col("_hs")).alias("_sh"),
     ).withColumn(
         "_bands",
         F.array(*[

@@ -35,28 +35,35 @@ LINEAGE_SCHEMA = T.StructType(
 
 
 def append_lineage(spark: SparkSession, lineage_dir: str, rows: list[dict]) -> None:
+    """Append one micro-batch's lineage rows.
+
+    Lineage is a handful of driver-side rows per batch — written directly
+    with pyarrow (a Spark write job would cost seconds of scheduling per
+    micro-batch for ~n_buckets rows; measured 4s/batch on local[32])."""
     if not rows:
         return
     import datetime
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     os.makedirs(lineage_dir, exist_ok=True)
     now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
-    recs = [
-        {
-            "batch_id": int(r["batch_id"]),
-            "partition_id": int(r["partition_id"]),
-            "offset_start": int(r["offset_start"]),
-            "offset_end": int(r["offset_end"]),
-            "rows_upserted": int(r["rows_upserted"]),
-            "rows_deleted": int(r["rows_deleted"]),
-            "late_events": int(r["late_events"]),
-            "out_of_order_events": int(r["out_of_order_events"]),
-            "wall_ms": int(r.get("wall_ms", 0)),
-            "committed_at": now,
-        }
-        for r in rows
-    ]
-    spark.createDataFrame(recs, LINEAGE_SCHEMA).coalesce(1).write.mode("append").parquet(lineage_dir)
+    cols = {
+        "batch_id": pa.array([int(r["batch_id"]) for r in rows], pa.int64()),
+        "partition_id": pa.array([int(r["partition_id"]) for r in rows], pa.int32()),
+        "offset_start": pa.array([int(r["offset_start"]) for r in rows], pa.int64()),
+        "offset_end": pa.array([int(r["offset_end"]) for r in rows], pa.int64()),
+        "rows_upserted": pa.array([int(r["rows_upserted"]) for r in rows], pa.int64()),
+        "rows_deleted": pa.array([int(r["rows_deleted"]) for r in rows], pa.int64()),
+        "late_events": pa.array([int(r["late_events"]) for r in rows], pa.int64()),
+        "out_of_order_events": pa.array([int(r["out_of_order_events"]) for r in rows], pa.int64()),
+        "wall_ms": pa.array([int(r.get("wall_ms", 0)) for r in rows], pa.int64()),
+        "committed_at": pa.array([now] * len(rows), pa.timestamp("us")),
+    }
+    path = os.path.join(lineage_dir, f"batch-{rows[0]['batch_id']:010d}-{uuid.uuid4().hex[:8]}.parquet")
+    pq.write_table(pa.table(cols), path)
 
 
 def read_lineage(spark: SparkSession, lineage_dir: str) -> DataFrame:

@@ -110,11 +110,18 @@ def run_sync(
     if max_batches is not None:
         ranges = ranges[:max_batches]
 
+    import os as _os
+    import time as _time
+
+    _prof = _os.environ.get("ESTUARY_PROFILE", "") == "1"
+
     run = skip = applied = ups = dels = 0
     last_lsn = None
     for lo, hi in ranges:
+        _t0 = _time.time()
         batch = log_df.filter(F.col(cfg.lsn_col).between(lo, hi))
         res = apply_batch(spark, table, batch, cfg, batch_id, offset_range=(lo, hi))
+        _t1 = _time.time()
         if res.skipped:
             skip += 1
         else:
@@ -123,6 +130,8 @@ def run_sync(
             dels += sum(r["rows_deleted"] for r in res.lineage)
             if cfg.lineage_dir:
                 append_lineage(spark, cfg.lineage_dir, res.lineage)
+        if _prof:
+            print(f"  [runner] batch {batch_id} apply={_t1 - _t0:.2f}s lineage={_time.time() - _t1:.2f}s", flush=True)
         applied += 0 if res.skipped else 1
         last_lsn = hi
         batch_id += 1

@@ -205,8 +205,14 @@ class LakeTable:
         commit_dir = os.path.join(self.root, commit_rel)
 
         # write one directory per commit, hive-partitioned by bucket; the
-        # partition column is a throwaway copy so _bucket stays in the data
-        out = df.withColumn("_bp", F.col(BUCKET_COL))
+        # partition column is a throwaway copy so _bucket stays in the data.
+        # Repartition on the bucket id first: without it every task writes a
+        # file into every bucket dir (tasks x buckets small files, and target
+        # reads degrade every commit); with it a commit produces ~1 file per
+        # touched bucket. files_per_bucket>1 would raise write parallelism
+        # for very large buckets (knob for the 100 TB case).
+        n_out = max(1, len(replaced_buckets))
+        out = df.repartition(n_out, F.col(BUCKET_COL)).withColumn("_bp", F.col(BUCKET_COL))
         out.write.partitionBy("_bp").mode("overwrite").parquet(commit_dir)
 
         # collect produced files per bucket from the filesystem (driver-side
