@@ -26,8 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def log_spec_for(sf: float):
     from estuary_spark.generator import LogSpec
 
-    # ~1.4M events at sf=0.1 (scales linearly; deterministic seed)
-    n_convs = max(200, int(600_000 * sf))
+    # ~1.4M events at sf=0.1, scaled by $ESTUARY_BENCH_SCALE (the scaling
+    # bench uses a larger log so the parallel fraction dominates fixed
+    # per-batch costs; deterministic seed either way)
+    scale = float(os.environ.get("ESTUARY_BENCH_SCALE", "1"))
+    n_convs = max(200, int(600_000 * sf * scale))
     return LogSpec(
         n_convs=n_convs,
         max_turns=16,
@@ -47,7 +50,8 @@ def sf_of(sf_dir: str) -> float:
 
 
 def bench_dirs(sf: float) -> dict:
-    root = os.environ.get("ESTUARY_BENCH_DIR", f"/tmp/estuary-bench-sf{sf}")
+    scale = os.environ.get("ESTUARY_BENCH_SCALE", "1")
+    root = os.environ.get("ESTUARY_BENCH_DIR", f"/tmp/estuary-bench-sf{sf}-x{scale}")
     return {
         "root": root,
         "log": os.path.join(root, "log"),
@@ -80,8 +84,9 @@ def run_apply(spark, dirs: dict, cpus: int) -> dict:
         n_buckets=max(32, cpus),
         salt_factor=8,
     )
+    epb = int(os.environ.get("ESTUARY_BENCH_EPB", "250000"))
     t0 = time.time()
-    summary = run_sync(spark, cfg, events_per_batch=250_000)
+    summary = run_sync(spark, cfg, events_per_batch=epb)
     wall = time.time() - t0
     return {"wall": wall, "upserted": summary.rows_upserted, "batches": summary.batches_run}
 

@@ -1,0 +1,69 @@
+"""Table maintenance: small-file compaction and tombstone purge.
+
+Copy-on-write MERGE keeps per-bucket file counts low by construction
+(commit rewrites touched buckets), but long-running tables still need:
+
+* ``compact`` — rewrite buckets whose file count exceeds a threshold into
+  one file each (Iceberg rewrite_data_files analogue). At 100 TB this
+  runs bucket-parallel and only on offending buckets.
+* ``purge_tombstones`` — physically drop soft-deleted rows whose LSN is
+  below a watermark. Tombstones exist so late (lower-LSN) cross-batch
+  events cannot resurrect deleted keys (see tables.py); once the source
+  guarantees no events older than ``watermark_lsn`` remain in flight
+  (estuary analogue: the position recorder's oldest saved generation,
+  SourceDataPositionRecorder.scala:37-44), rows tombstoned before it are
+  garbage. The purge is itself an atomic snapshot commit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, functions as F
+
+from estuary_spark.tables import BUCKET_COL, DELETED_COL, LSN_COL, LakeTable
+
+
+def compact(spark: SparkSession, table: LakeTable, max_files_per_bucket: int = 4) -> int:
+    """Rewrite buckets with more than ``max_files_per_bucket`` files.
+    Returns the number of buckets compacted (0 = no commit made)."""
+    m = table.manifest()
+    fat = [int(b) for b, files in m["files"].items() if len(files) > max_files_per_bucket]
+    if not fat:
+        return 0
+    df = table.read(spark, buckets=fat, include_tombstones=True)
+    table.commit(
+        spark,
+        df,
+        replaced_buckets=fat,
+        applied_range=None,
+        batch_id=None,
+        extra_properties={"compaction": {"buckets": fat}},
+    )
+    return len(fat)
+
+
+def purge_tombstones(spark: SparkSession, table: LakeTable, watermark_lsn: int) -> int:
+    """Drop tombstone rows with ``_lsn < watermark_lsn``. Returns rows
+    purged. Only buckets that actually hold purgeable tombstones are
+    rewritten (two cheap column-pruned passes to find them)."""
+    full = table.read(spark, include_tombstones=True)
+    purgeable = full.filter(
+        F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col(LSN_COL) < watermark_lsn)
+    )
+    buckets = [r["b"] for r in purgeable.select(F.col(BUCKET_COL).alias("b")).distinct().collect()]
+    if not buckets:
+        return 0
+    scoped = table.read(spark, buckets=buckets, include_tombstones=True)
+    keep = scoped.filter(
+        ~(F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col(LSN_COL) < watermark_lsn))
+    )
+    n_before = scoped.count()
+    n_after = keep.count()
+    table.commit(
+        spark,
+        keep,
+        replaced_buckets=buckets,
+        applied_range=None,
+        batch_id=None,
+        extra_properties={"tombstone_purge": {"watermark_lsn": watermark_lsn, "purged": n_before - n_after}},
+    )
+    return n_before - n_after

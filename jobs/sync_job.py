@@ -1,0 +1,79 @@
+"""spark-submit entrypoint for a sync task (estuary K1/K2 analogue).
+
+Packaging (the north rule's ship shape):
+
+    zip -r engine.zip estuary_spark/
+    spark-submit --py-files engine.zip jobs/sync_job.py \\
+        --source /data/cdc_log --target /lake/transcripts \\
+        --lineage /lake/_lineage --checkpoint /ckpt/task1.json \\
+        --buckets 1024 --events-per-batch 10000000
+
+On a cluster, add --master/--num-executors etc. to spark-submit; this
+script only builds the session from the ambient config. ``--streaming``
+switches to the Structured Streaming front-end (checkpoint dir instead of
+JSON file). Config flags mirror the estuary task-bean knobs that still
+make sense on Spark (SURVEY.md K1/K4): partition strategy, batch sizing,
+start position.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="estuary_spark CDC sync task")
+    ap.add_argument("--source", required=True, help="change-log directory (parquet)")
+    ap.add_argument("--target", required=True, help="LakeTable root directory")
+    ap.add_argument("--lineage", default=None)
+    ap.add_argument("--checkpoint", default=None, help="JSON checkpoint (batch mode) or checkpoint dir (streaming)")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--salt", type=int, default=8)
+    ap.add_argument("--events-per-batch", type=int, default=1_000_000)
+    ap.add_argument("--start-lsn", type=int, default=None)
+    ap.add_argument("--stop-at-lsn", type=int, default=None, help="bounded catch-up run (snapshot-at-offset, C6 analogue)")
+    ap.add_argument("--partition-strategy", default="primary_key",
+                    choices=["mod", "primary_key", "table", "transaction"])
+    ap.add_argument("--no-schema-evolution", action="store_true")
+    ap.add_argument("--streaming", action="store_true")
+    ap.add_argument("--app-name", default="estuary-spark-sync")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from estuary_spark.config import SyncConfig
+    from estuary_spark.runner import run_sync
+
+    # under spark-submit the master/conf come from the launcher
+    spark = SparkSession.builder.appName(args.app_name).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    cfg = SyncConfig(
+        source_log_dir=args.source,
+        target_table_dir=args.target,
+        lineage_dir=args.lineage,
+        checkpoint_path=None if args.streaming else args.checkpoint,
+        n_buckets=args.buckets,
+        salt_factor=args.salt,
+        start_lsn=args.start_lsn,
+        stop_at_lsn=args.stop_at_lsn,
+        partition_strategy=args.partition_strategy,
+        allow_schema_evolution=not args.no_schema_evolution,
+    )
+
+    if args.streaming:
+        from estuary_spark.streaming import run_sync_streaming
+
+        if not args.checkpoint:
+            sys.exit("--checkpoint (a directory) is required with --streaming")
+        stats = run_sync_streaming(spark, cfg, args.checkpoint)
+        print(json.dumps(stats))
+    else:
+        summary = run_sync(spark, cfg, events_per_batch=args.events_per_batch)
+        print(json.dumps(summary.__dict__))
+
+
+if __name__ == "__main__":
+    main()
