@@ -328,7 +328,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     corpus = emb.filter(F.col("vec_id") >= 5)
-    return lsh_ann_topk(corpus, queries, k=5, n_planes=8, dim=64)
+    return lsh_ann_topk(corpus, queries, k=5, n_planes=6, n_tables=8, dim=64)
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -92,32 +92,54 @@ def lsh_ann_topk(
     queries: DataFrame,
     k: int = 10,
     n_planes: int = 8,
+    n_tables: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: only corpus vectors in the query's LSH bucket
-    (or hamming-1 neighbor buckets) are scored."""
+    """Approximate top-k via multi-table hyperplane LSH.
+
+    ``n_tables`` independent hash tables (each with its own ``n_planes``
+    random hyperplanes); a corpus vector is a candidate if it shares a
+    bucket with the query in ANY table (the query additionally probes all
+    hamming-1 neighbor buckets per table — multi-probe). Candidates are
+    deduped per (query, vector) then exactly re-ranked by cosine.
+
+    Scale shape: the corpus side is exploded x n_tables (narrow map, no
+    shuffle), the bucket equi-join shuffles O(n_tables * n) rows — not
+    O(n * q) as brute force does; recall is tuned by (n_planes down,
+    n_tables up) at linear candidate cost.
+    """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
+    tables = [_hyperplanes(dim, n_planes, seed + 1_000_003 * t) for t in range(n_tables)]
+
+    # combined join key: table_id * 2^n_planes + bucket
+    def keyed(sig: Column, t: int) -> Column:
+        return (F.lit(t * (1 << n_planes)) + sig).cast("int")
+
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv")).withColumn(
-        "bucket", lsh_signature(F.col("_cv"), planes)
+        "bucket",
+        F.explode(F.array(*[keyed(lsh_signature(F.col("_cv"), tables[t]), t) for t in range(n_tables)])),
     )
+    probe_cols = []
+    for t in range(n_tables):
+        sig = lsh_signature(F.col("_qv"), tables[t])
+        probe_cols.append(keyed(sig, t))
+        probe_cols.extend(keyed(sig.bitwiseXOR(F.lit(1 << i)), t) for i in range(n_planes))
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv")).withColumn(
-        "bucket", lsh_signature(F.col("_qv"), planes)
+        "bucket", F.explode(F.array(*probe_cols))
     )
-    # probe the exact bucket + all hamming-1 buckets (multi-probe LSH)
-    probes = F.array(F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
-    q = q.withColumn("bucket", F.explode(probes))
-    scored = c.join(F.broadcast(q), on="bucket").withColumn(
-        "cos", cosine(F.col("_qv"), F.col("_cv"))
+    cand = (
+        c.join(F.broadcast(q), on="bucket")
+        .dropDuplicates([query_id_col, id_col])
+        .withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos", "rank")
     )

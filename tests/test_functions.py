@@ -127,7 +127,7 @@ def test_text_quality_and_lang(spark):
     assert by_id[0]["lang"] == "en"
     assert by_id[1]["lang"] == "es"
     assert by_id[2]["lang"] == "und"
-    assert by_id[0]["tws"] == 12
+    assert by_id[0]["tws"] == 13
     assert by_id[2]["pr"] == 1.0
 
 
