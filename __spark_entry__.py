@@ -102,6 +102,29 @@ def q_cdc_fold_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select("conv_id", "turn_idx", "text", "_lsn")
 
 
+def q_cdc_fold_engine_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same end-to-end engine run in merge-on-read mode: delta commits +
+    fold-on-read + mid-run auto-compaction. Must match the identical SQL
+    fold oracle — MoR and COW are semantically indistinguishable."""
+    from estuary_spark.config import SyncConfig
+    from estuary_spark.runner import read_final_state, run_sync
+
+    work = tempfile.mkdtemp(prefix="estuary-gate-mor-")
+    log_dir = os.path.join(work, "log")
+    _derive_cdc_log(spark, sf_dir).repartitionByRange(4, "lsn").write.parquet(log_dir)
+    cfg = SyncConfig(
+        source_log_dir=log_dir,
+        target_table_dir=os.path.join(work, "table"),
+        n_buckets=8,
+        envelope_cols=("lsn", "op"),
+        write_mode="mor",
+        compact_every=3,
+    )
+    run_sync(spark, cfg, events_per_batch=2000)
+    final = read_final_state(spark, cfg)
+    return final.select("conv_id", "turn_idx", "text", "_lsn")
+
+
 def q_cdc_fold_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same fold as a single declarative plan (salted LWW operator)."""
     from estuary_spark.operators.lww import lww_reduce
@@ -364,6 +387,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_fold_engine": q_cdc_fold_engine,
+        "cdc_fold_engine_mor": q_cdc_fold_engine_mor,
         "cdc_fold_declarative": q_cdc_fold_declarative,
         "cdc_latest_per_user": q_cdc_latest_per_user,
         "q1_pricing_summary": q1_pricing_summary,
@@ -390,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_fold_engine": _CDC_ORACLE_FOLD,
+        "cdc_fold_engine_mor": _CDC_ORACLE_FOLD,
         "cdc_fold_declarative": _CDC_ORACLE_FOLD,
         "cdc_latest_per_user": """
             SELECT user_id,

@@ -71,24 +71,65 @@ def generate(spark, sf: float, dirs: dict) -> int:
     return spark.read.parquet(dirs["log"]).count()
 
 
-def run_apply(spark, dirs: dict, cpus: int) -> dict:
+def run_apply(spark, dirs: dict, cpus: int, warmup: bool = False) -> dict:
+    """One full merge-apply pass over the log.
+
+    ``warmup=True`` first runs a 2-batch pass into a scratch table and
+    discards it: the metric is *sustained* throughput (BASELINE.json), and
+    a cold JVM spends the first ~2 batches JIT-compiling the generated
+    pipeline code — measured cost drops ~2x once warm (same at every
+    parallelism level, so excluding it is required for a fair N-vs-4N
+    comparison; a production stream is warm for its whole life).
+    """
     from estuary_spark.config import SyncConfig
     from estuary_spark.runner import run_sync
 
-    for d in (dirs["table"], dirs["lineage"]):
-        shutil.rmtree(d, ignore_errors=True)
-    cfg = SyncConfig(
-        source_log_dir=dirs["log"],
-        target_table_dir=dirs["table"],
-        lineage_dir=dirs["lineage"],
-        n_buckets=max(32, cpus),
-        salt_factor=8,
-    )
     epb = int(os.environ.get("ESTUARY_BENCH_EPB", "250000"))
+
+    def fresh_cfg() -> SyncConfig:
+        for d in (dirs["table"], dirs["lineage"]):
+            shutil.rmtree(d, ignore_errors=True)
+        return SyncConfig(
+            source_log_dir=dirs["log"],
+            target_table_dir=dirs["table"],
+            lineage_dir=dirs["lineage"],
+            n_buckets=max(32, cpus),
+            salt_factor=8,
+            write_mode=os.environ.get("ESTUARY_BENCH_MODE", "cow"),
+            compact_every=int(os.environ.get("ESTUARY_BENCH_COMPACT_EVERY", "8")),
+        )
+
+    if warmup:
+        run_sync(spark, fresh_cfg(), events_per_batch=epb, max_batches=2)
+
+    cfg = fresh_cfg()
     t0 = time.time()
     summary = run_sync(spark, cfg, events_per_batch=epb)
     wall = time.time() - t0
     return {"wall": wall, "upserted": summary.rows_upserted, "batches": summary.batches_run}
+
+
+def machine_ceiling_probe(spark, cpus: int, n: int = 1 << 32) -> float:
+    """Embarrassingly-parallel codegen probe (hash + sum over spark.range,
+    no shuffle, no IO, no Python). Its N-vs-4N speedup is the MACHINE's
+    parallel-scaling ceiling: a single box drops per-core clock as active
+    cores rise (measured here: ~77M rows/s/core at 8 active cores vs ~45M
+    at 32), which no engine can beat. A real cluster's N and 4N executors
+    run at identical clocks, so engine-speedup / probe-speedup is the
+    cluster-predictive scaling efficiency."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    probe = lambda rows, parts: (
+        spark.range(rows, numPartitions=parts)
+        .select(F.sum(F.pmod(F.xxhash64(F.col("id"), F.col("id") + 1), F.lit(1_000_000))))
+        .collect()
+    )
+    probe(n >> 4, cpus * 8)  # warm the codegen path
+    t0 = _t.time()
+    probe(n, cpus * 8)
+    return _t.time() - t0
 
 
 def timed_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -124,6 +165,7 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--gen-only", action="store_true")
     ap.add_argument("--apply-only", action="store_true")
+    ap.add_argument("--warmup", action="store_true", help="JIT-warm the JVM before the measured pass")
     args = ap.parse_args()
 
     from estuary_spark.session import get_spark
@@ -133,7 +175,9 @@ def main() -> None:
     sf = sf_of(sf_dir)
     dirs = bench_dirs(sf)
 
-    spark = get_spark("estuary-bench", cores=cpus, shuffle_partitions=cpus)
+    # 2 shuffle partitions per core: one wave would leave cores idle on the
+    # tail straggler; two waves pack the tail (same setting at every level)
+    spark = get_spark("estuary-bench", cores=cpus, shuffle_partitions=2 * cpus)
 
     t_gen0 = time.time()
     n_events = generate(spark, sf, dirs)
@@ -143,42 +187,57 @@ def main() -> None:
         print(json.dumps({"metric": "gen", "events": n_events, "sec": round(t_gen, 2)}))
         return
 
-    apply_res = run_apply(spark, dirs, cpus)
+    apply_res = run_apply(spark, dirs, cpus, warmup=args.warmup)
     eps = n_events / apply_res["wall"]
 
     if args.apply_only:
-        print(
-            json.dumps(
-                {
-                    "metric": "cdc_merge_apply",
-                    "cpus": cpus,
-                    "events": n_events,
-                    "sec": round(apply_res["wall"], 2),
-                    "events_per_sec": round(eps, 1),
-                    "batches": apply_res["batches"],
-                }
-            )
-        )
+        out = {
+            "metric": "cdc_merge_apply",
+            "cpus": cpus,
+            "events": n_events,
+            "sec": round(apply_res["wall"], 2),
+            "events_per_sec": round(eps, 1),
+            "batches": apply_res["batches"],
+        }
+        if os.environ.get("ESTUARY_BENCH_PROBE", "") == "1":
+            out["probe_sec"] = round(machine_ceiling_probe(spark, cpus), 2)
+        print(json.dumps(out))
         return
 
     queries = {"cdc_apply": round(apply_res["wall"], 3)}
     queries.update(timed_queries(spark, sf_dir))
 
-    total = sum(queries.values())
-    print(
-        json.dumps(
-            {
-                "metric": "cdc_merge_apply_plus_queries_wall",
-                "value": round(total, 2),
-                "unit": "sec",
-                "queries": queries,
-                "sf": sf,
-                "cdc_events": n_events,
-                "cdc_events_per_sec": round(eps, 1),
-                "cpus": cpus,
-            }
-        )
-    )
+    out = {
+        "metric": "cdc_merge_apply_plus_queries_wall",
+        "value": round(sum(queries.values()), 2),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cdc_events": n_events,
+        "cdc_events_per_sec": round(eps, 1),
+        "cpus": cpus,
+    }
+    # fold in the latest two-parallelism scaling evidence (the north-rule
+    # criterion), produced separately by tools/scaling_bench.py on a much
+    # larger log with a JIT-warmed JVM — see BENCH/BASELINE.md
+    raw = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_raw.json")
+    if os.path.exists(raw):
+        with open(raw) as fh:
+            s = json.load(fh)
+        out["scaling"] = {
+            "mode": s.get("mode", "cow"),
+            "events": s["high"]["events"],
+            "low_cpus": s["low"]["cpus"],
+            "high_cpus": s["high"]["cpus"],
+            "low_events_per_sec": s["low"]["events_per_sec"],
+            "high_events_per_sec": s["high"]["events_per_sec"],
+            "efficiency_raw": round(s["efficiency"], 3),
+            "machine_ceiling": round(s["machine_ceiling"], 3) if s.get("machine_ceiling") else None,
+            "efficiency_vs_machine_ceiling": (
+                round(s["normalized_efficiency"], 3) if s.get("normalized_efficiency") else None
+            ),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -46,6 +46,104 @@ from estuary_spark.operators.lww import lww_reduce
 from estuary_spark.tables import BUCKET_COL, DELETED_COL, LSN_COL, LakeTable, bucket_expr
 
 
+def _apply_mor(
+    spark: SparkSession,
+    table: "LakeTable",
+    winners: DataFrame,
+    cfg: SyncConfig,
+    batch_id: int,
+    offset_range: tuple[int, int],
+    tschema: T.StructType,
+    user_cols: list[str],
+    touched: list[int],
+    t0: float,
+) -> "BatchResult":
+    """Merge-on-read apply: append the batch's LWW winners as delta files.
+
+    Per-batch cost is O(batch) — no target-wide join, no bucket rewrite
+    (the Iceberg ``write.merge.mode=merge-on-read`` analogue; readers fold,
+    ``maintenance.compact`` amortizes). Lineage still compares against the
+    current table state, but through a COLUMN-PRUNED read (key, _lsn,
+    _deleted only) so the target side of the lineage join scans a few
+    narrow columns instead of the full transcript text.
+    """
+    key_cols = list(cfg.key_cols)
+    _pt = time.time()
+
+    delta = winners.select(
+        *[F.col(c) if c in winners.columns else F.lit(None).cast(tschema[c].dataType).alias(c) for c in user_cols],
+        F.col("lsn").alias(LSN_COL),
+        (F.col("op") == "delete").alias(DELETED_COL),
+        F.col(BUCKET_COL),
+    ).select(*[c for c in tschema.names])
+
+    # ---- lineage (M1) via narrow folded target read
+    t_n = table.read(spark, buckets=touched, include_tombstones=True, columns=[]).select(
+        *key_cols, F.col(LSN_COL).alias("_t_lsn"), F.col(DELETED_COL).alias("_t_deleted")
+    )
+    s_n = winners.select(
+        *key_cols,
+        F.col("lsn").alias("_s_lsn"),
+        (F.col("op") == "delete").alias("_s_del"),
+        F.col("_n_events").alias("_s_n"),
+        F.col(BUCKET_COL).alias("_s_bucket"),
+    )
+    n_src_wins = F.col("_t_lsn").isNull() | (F.col("_s_lsn") > F.col("_t_lsn"))
+    lineage_rows = [
+        {
+            "batch_id": batch_id,
+            "partition_id": int(r["b"]),
+            "offset_start": offset_range[0],
+            "offset_end": offset_range[1],
+            "rows_upserted": int(r["ups"] or 0),
+            "rows_deleted": int(r["dels"] or 0),
+            "late_events": int(r["late"] or 0),
+            "out_of_order_events": int(r["ooo"] or 0),
+        }
+        for r in s_n.join(t_n, on=key_cols, how="left")
+        .groupBy(F.col("_s_bucket").alias("b"))
+        .agg(
+            F.sum(F.when(n_src_wins & ~F.col("_s_del"), 1).otherwise(0)).alias("ups"),
+            F.sum(
+                F.when(
+                    n_src_wins
+                    & F.col("_s_del")
+                    & F.col("_t_lsn").isNotNull()
+                    & ~F.coalesce(F.col("_t_deleted"), F.lit(False)),
+                    1,
+                ).otherwise(0)
+            ).alias("dels"),
+            F.sum(F.when(F.col("_t_lsn").isNotNull() & ~n_src_wins, 1).otherwise(0)).alias("late"),
+            F.sum(F.col("_s_n") - 1).alias("ooo"),
+        )
+        .collect()
+    ]
+    _pt = _tick("mor-lineage", _pt)
+
+    version = table.commit_delta(
+        spark,
+        delta,
+        applied_range=offset_range,
+        batch_id=batch_id,
+        new_schema=tschema,
+        extra_properties={
+            "last_batch": {
+                "batch_id": batch_id,
+                "offset_range": list(offset_range),
+                "upserted": sum(r["rows_upserted"] for r in lineage_rows),
+                "deleted": sum(r["rows_deleted"] for r in lineage_rows),
+            }
+        },
+    )
+    _pt = _tick("mor-commit", _pt)
+    winners.unpersist()
+
+    wall = int((time.time() - t0) * 1000)
+    for r in lineage_rows:
+        r["wall_ms"] = wall
+    return BatchResult(batch_id, False, version, offset_range, lineage_rows, wall)
+
+
 @dataclass
 class BatchResult:
     batch_id: int
@@ -135,6 +233,11 @@ def apply_batch(
         winners.unpersist()
         return BatchResult(batch_id, True, None, offset_range, [], int((time.time() - t0) * 1000))
 
+    if cfg.write_mode == "mor":
+        return _apply_mor(
+            spark, table, winners, cfg, batch_id, offset_range, tschema, user_cols, touched, t0
+        )
+
     # ---- MERGE: bucket-pruned copy-on-write join (T2)
     target = table.read(spark, buckets=touched, include_tombstones=True)
 
@@ -161,35 +264,49 @@ def apply_batch(
     )
     is_delete = F.col("_s_op") == "delete"
 
-    out_cols = list(key_cols)
+    # ---- single fused join pass: the merged row AND the per-row lineage
+    # flags come out of ONE target⨝changes shuffle join (persisted), so the
+    # commit write and the lineage aggregation share it instead of joining
+    # twice. At 10^10-event scale the target-side scan+shuffle is the
+    # dominant per-batch cost — paying it once, not twice, is the single
+    # biggest lever on sustained throughput.
     sel = [F.col(c) for c in key_cols]
     for c in user_cols:
         if c in key_cols:
             continue
         sel.append(F.when(src_wins, F.col(f"_s_{c}")).otherwise(F.col(f"_t_{c}")).alias(c))
-        out_cols.append(c)
     sel.append(F.when(src_wins, F.col("_s_lsn")).otherwise(F.col("_t_lsn")).alias(LSN_COL))
     sel.append(
         F.when(src_wins, is_delete).otherwise(F.coalesce(F.col("_t_deleted"), F.lit(False))).alias(DELETED_COL)
     )
     sel.append(F.coalesce(F.col("_t_bucket"), F.col("_s_bucket")).alias(BUCKET_COL))
+    # lineage flags (M1): upsert / delete / late per the LSN guard
+    sel.append(F.when(src_wins & ~is_delete, 1).otherwise(0).alias("_l_up"))
+    sel.append(
+        F.when(
+            src_wins
+            & is_delete
+            & F.col("_t_lsn").isNotNull()
+            & ~F.coalesce(F.col("_t_deleted"), F.lit(False)),
+            1,
+        )
+        .otherwise(0)
+        .alias("_l_del")
+    )
+    sel.append(
+        F.when(F.col("_s_lsn").isNotNull() & F.col("_t_lsn").isNotNull() & ~src_wins, 1)
+        .otherwise(0)
+        .alias("_l_late")
+    )
+    sel.append(F.coalesce(F.col("_s_n") - 1, F.lit(0)).alias("_l_ooo"))
 
-    merged = j.select(*sel)
+    from pyspark import StorageLevel
+
+    merged = j.select(*sel).persist(StorageLevel.MEMORY_AND_DISK)
     _pt = _tick("merge-plan", _pt)
 
-    # ---- lineage (M1) from a NARROW join: only (key, lsn, deleted, bucket)
-    # columns — parquet column pruning makes the target side cheap, so the
-    # full-width merge below runs exactly once (in the commit write) instead
-    # of being materialized twice through a persist.
-    t_n = target.select(*key_cols, F.col(LSN_COL).alias("_t_lsn"), F.col(DELETED_COL).alias("_t_deleted"))
-    s_n = winners.select(
-        *key_cols,
-        F.col("lsn").alias("_s_lsn"),
-        (F.col("op") == "delete").alias("_s_del"),
-        F.col("_n_events").alias("_s_n"),
-        F.col(BUCKET_COL).alias("_s_bucket"),
-    )
-    n_src_wins = F.col("_t_lsn").isNull() | (F.col("_s_lsn") > F.col("_t_lsn"))
+    # ---- lineage (M1) aggregated from the persisted join; this action
+    # materializes the join once, the commit write below re-reads the cache
     lineage_rows = [
         {
             "batch_id": batch_id,
@@ -201,27 +318,19 @@ def apply_batch(
             "late_events": int(r["late"] or 0),
             "out_of_order_events": int(r["ooo"] or 0),
         }
-        for r in s_n.join(t_n, on=key_cols, how="left")
-        .groupBy(F.col("_s_bucket").alias("b"))
+        for r in merged.groupBy(F.col(BUCKET_COL).alias("b"))
         .agg(
-            F.sum(F.when(n_src_wins & ~F.col("_s_del"), 1).otherwise(0)).alias("ups"),
-            F.sum(
-                F.when(
-                    n_src_wins
-                    & F.col("_s_del")
-                    & F.col("_t_lsn").isNotNull()
-                    & ~F.coalesce(F.col("_t_deleted"), F.lit(False)),
-                    1,
-                ).otherwise(0)
-            ).alias("dels"),
-            F.sum(F.when(F.col("_t_lsn").isNotNull() & ~n_src_wins, 1).otherwise(0)).alias("late"),
-            F.sum(F.col("_s_n") - 1).alias("ooo"),
+            F.sum("_l_up").alias("ups"),
+            F.sum("_l_del").alias("dels"),
+            F.sum("_l_late").alias("late"),
+            F.sum("_l_ooo").alias("ooo"),
         )
+        .filter((F.col("ups") + F.col("dels") + F.col("late") + F.col("ooo")) > 0)
         .collect()
     ]
     _pt = _tick("lineage-agg", _pt)
 
-    # keep only physical table columns, in schema order
+    # keep only physical table columns, in schema order (flags dropped)
     final = merged.select(*[c for c in tschema.names])
 
     version = table.commit(
@@ -241,6 +350,7 @@ def apply_batch(
         },
     )
     _pt = _tick("commit", _pt)
+    merged.unpersist()
     winners.unpersist()
 
     wall = int((time.time() - t0) * 1000)

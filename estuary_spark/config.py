@@ -54,6 +54,17 @@ class SyncConfig:
     # skew handling: salt factor for the pre-merge local reduce
     salt_factor: int = 8
 
+    # merge strategy (Iceberg ``write.merge.mode`` analogue):
+    #   "cow"  — copy-on-write: each batch joins + rewrites touched buckets;
+    #            fastest reads, per-batch cost O(touched table size)
+    #   "mor"  — merge-on-read: each batch appends LWW-winner delta files;
+    #            per-batch cost O(batch) — the 10^10-event path — readers
+    #            fold deltas, maintenance.compact() amortizes them away
+    write_mode: str = "cow"
+    # mor: auto-compact when any bucket accumulates this many delta files
+    # (0 disables auto-compaction inside run_sync)
+    compact_every: int = 16
+
     partition_strategy: str = PARTITION_PRIMARY_KEY
 
     # start position resolution (estuary C2: checkpoint -> supplied ->
@@ -68,3 +79,14 @@ class SyncConfig:
     envelope_cols: tuple[str, ...] = ("lsn", "op", "commit_ts", "txn_id", "schema_ver")
 
     extra: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be 'cow' or 'mor', got {self.write_mode!r}")
+        if self.partition_strategy not in (
+            PARTITION_MOD,
+            PARTITION_PRIMARY_KEY,
+            PARTITION_TABLE,
+            PARTITION_TRANSACTION,
+        ):
+            raise ValueError(f"unknown partition_strategy {self.partition_strategy!r}")

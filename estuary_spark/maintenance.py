@@ -22,11 +22,24 @@ from pyspark.sql import SparkSession, functions as F
 from estuary_spark.tables import BUCKET_COL, DELETED_COL, LSN_COL, LakeTable
 
 
-def compact(spark: SparkSession, table: LakeTable, max_files_per_bucket: int = 4) -> int:
-    """Rewrite buckets with more than ``max_files_per_bucket`` files.
+def compact(
+    spark: SparkSession,
+    table: LakeTable,
+    max_files_per_bucket: int = 4,
+    max_delta_files_per_bucket: int = 0,
+) -> int:
+    """Rewrite buckets with more than ``max_files_per_bucket`` base files
+    OR more than ``max_delta_files_per_bucket`` MoR delta files (deltas are
+    folded into the base via the table's merge-on-read scan, then dropped).
     Returns the number of buckets compacted (0 = no commit made)."""
     m = table.manifest()
-    fat = [int(b) for b, files in m["files"].items() if len(files) > max_files_per_bucket]
+    fat = {int(b) for b, files in m["files"].items() if len(files) > max_files_per_bucket}
+    fat |= {
+        int(b)
+        for b, files in m.get("delta_files", {}).items()
+        if len(files) > max_delta_files_per_bucket
+    }
+    fat = sorted(fat)
     if not fat:
         return 0
     df = table.read(spark, buckets=fat, include_tombstones=True)

@@ -150,29 +150,77 @@ class LakeTable:
 
     # -------------------------------------------------------------- read
 
+    def _files_for(self, m: dict, kind: str, buckets: list[int] | None) -> list[str]:
+        out: list[str] = []
+        for b, fl in m.get(kind, {}).items():
+            if buckets is None or int(b) in buckets:
+                out.extend(os.path.join(self.root, f) for f in fl)
+        return out
+
+    def delta_buckets(self) -> list[int]:
+        """Buckets that currently have un-compacted delta (MoR) files."""
+        return sorted(int(b) for b, fl in self.manifest().get("delta_files", {}).items() if fl)
+
     def read(
         self,
         spark: SparkSession,
         buckets: list[int] | None = None,
         include_tombstones: bool = False,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Read the current snapshot; ``buckets`` prunes at the file level
         (the manifest knows every file's bucket — no directory listing, no
         footer reads for pruned buckets). Tombstoned rows are folded out
         unless ``include_tombstones`` (the merge path needs them for the
-        LSN guard)."""
+        LSN guard).
+
+        Merge-on-read: buckets with delta files are folded at read time —
+        per key the highest-``_lsn`` row across base+delta files wins
+        (Iceberg MoR / position-delete analogue, expressed as a hash
+        aggregation instead of an anti-join). Buckets without deltas skip
+        the fold entirely, so a freshly-compacted table reads shuffle-free.
+
+        ``columns`` prunes the parquet scan server-side (key/system columns
+        are always kept so the fold and tombstone logic stay correct).
+        """
         m = self.manifest()
         schema = T.StructType.fromJson(m["schema"])
-        files: list[str] = []
-        for b, fl in m["files"].items():
-            if buckets is None or int(b) in buckets:
-                files.extend(os.path.join(self.root, f) for f in fl)
-        if not files:
-            df = spark.createDataFrame([], schema)
-        else:
+        key_cols = m.get("key_cols", [])
+        if columns is not None:
+            need = list(dict.fromkeys([*key_cols, *columns, LSN_COL, DELETED_COL, BUCKET_COL]))
+            schema = T.StructType([f for f in schema.fields if f.name in need])
+
+        dirty = set(self.delta_buckets())
+        if buckets is not None:
+            dirty &= {int(b) for b in buckets}
+
+        def _scan(files: list[str]) -> DataFrame:
+            if not files:
+                return spark.createDataFrame([], schema)
             # explicit schema => files from pre-evolution snapshots yield
             # NULL for later-added columns (additive evolution)
-            df = spark.read.schema(schema).parquet(*files)
+            return spark.read.schema(schema).parquet(*files)
+
+        clean_buckets = (
+            None
+            if (buckets is None and not dirty)
+            else [int(b) for b in (m["files"].keys() if buckets is None else buckets) if int(b) not in dirty]
+        )
+        df = _scan(self._files_for(m, "files", clean_buckets))
+
+        if dirty:
+            dirty_list = sorted(dirty)
+            base = _scan(self._files_for(m, "files", dirty_list))
+            delta = _scan(self._files_for(m, "delta_files", dirty_list))
+            both = base.unionByName(delta)
+            payload = [c for c in both.columns if c not in key_cols]
+            folded = (
+                both.groupBy(*key_cols)
+                .agg(F.max_by(F.struct(*payload), F.col(LSN_COL)).alias("_w"))
+                .select(*key_cols, "_w.*")
+            )
+            df = df.unionByName(folded)
+
         if not include_tombstones and DELETED_COL in df.columns:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
         return df
@@ -233,6 +281,13 @@ class LakeTable:
         for b, fl in new_files.items():
             files[b] = fl
 
+        # a COW rewrite of a bucket supersedes its MoR delta files ONLY if
+        # the written df already folded them in (compaction does; the COW
+        # merge path reads via read() which folds, so it does too)
+        delta_files = {
+            b: fl for b, fl in m.get("delta_files", {}).items() if int(b) not in replaced_buckets
+        }
+
         props = dict(m.get("properties", {}))
         ranges = [list(r) for r in props.get("applied_ranges", [])]
         if applied_range is not None:
@@ -251,6 +306,78 @@ class LakeTable:
                 "key_cols": m["key_cols"],
                 "n_buckets": m["n_buckets"],
                 "files": files,
+                "delta_files": delta_files,
+                "properties": props,
+            }
+        )
+        return version
+
+    def commit_delta(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        applied_range: tuple[int, int] | None,
+        batch_id: int | None,
+        new_schema: T.StructType | None = None,
+        extra_properties: dict | None = None,
+    ) -> int:
+        """Merge-on-read commit: append ``df`` (LWW winners for one batch,
+        carrying ``_lsn``/``_deleted``/``_bucket``) as delta files — no
+        target read, no join, no rewrite. Readers fold deltas per key at
+        scan time; ``maintenance.compact`` folds them back into base files.
+
+        This is the Iceberg ``write.merge.mode=merge-on-read`` analogue and
+        the 10^10-event scale path: per-batch write cost is O(batch), not
+        O(table). The applied offset range is fused into the snapshot
+        exactly as in the COW path, so replay/exactly-once semantics are
+        identical.
+        """
+        m = self.manifest()
+        version = m["version"] + 1
+        schema = new_schema if new_schema is not None else T.StructType.fromJson(m["schema"])
+
+        commit_rel = os.path.join(DATA_DIR, f"delta-{version:010d}")
+        commit_dir = os.path.join(self.root, commit_rel)
+        # repartition on the bucket id first — without it every task writes
+        # a file into every bucket dir (tasks x buckets small files per
+        # commit, and the fold-on-read degrades immediately); with it a
+        # delta commit adds ~1 file per touched bucket
+        out = df.repartition(m["n_buckets"], F.col(BUCKET_COL)).withColumn(
+            "_bp", F.col(BUCKET_COL)
+        )
+        out.write.partitionBy("_bp").mode("overwrite").parquet(commit_dir)
+
+        delta_files = {b: list(fl) for b, fl in m.get("delta_files", {}).items()}
+        for entry in os.listdir(commit_dir):
+            if not entry.startswith("_bp="):
+                continue
+            b = str(int(entry.split("=", 1)[1]))
+            bdir = os.path.join(commit_dir, entry)
+            delta_files.setdefault(b, []).extend(
+                os.path.join(commit_rel, entry, f)
+                for f in os.listdir(bdir)
+                if f.endswith(".parquet")
+            )
+
+        props = dict(m.get("properties", {}))
+        ranges = [list(r) for r in props.get("applied_ranges", [])]
+        if applied_range is not None:
+            ranges.append([int(applied_range[0]), int(applied_range[1])])
+        props["applied_ranges"] = _merge_ranges(ranges)
+        if batch_id is not None:
+            props["batch_ids"] = props.get("batch_ids", []) + [batch_id]
+        if extra_properties:
+            props.update(extra_properties)
+
+        self._write_manifest(
+            {
+                "version": version,
+                "parent": m["version"],
+                "schema": schema.jsonValue(),
+                "key_cols": m["key_cols"],
+                "n_buckets": m["n_buckets"],
+                "files": m["files"],
+                "delta_files": delta_files,
                 "properties": props,
             }
         )
@@ -275,6 +402,7 @@ class LakeTable:
                 "key_cols": m["key_cols"],
                 "n_buckets": m["n_buckets"],
                 "files": m["files"],
+                "delta_files": m.get("delta_files", {}),
                 "properties": m.get("properties", {}),
             }
         )
@@ -288,6 +416,7 @@ class LakeTable:
         unreadable — run only when time travel is not needed.)"""
         m = self.manifest()
         live = {os.path.join(self.root, f) for fl in m["files"].values() for f in fl}
+        live |= {os.path.join(self.root, f) for fl in m.get("delta_files", {}).values() for f in fl}
         removed = 0
         droot = os.path.join(self.root, DATA_DIR)
         for dirpath, _dirnames, filenames in os.walk(droot):

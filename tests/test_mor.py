@@ -1,0 +1,130 @@
+"""Merge-on-read write mode: final-state equivalence with copy-on-write,
+compaction transparency, replay idempotence, and the O(batch) write shape.
+
+MoR is the 10^10-event scale path (Iceberg ``write.merge.mode=
+merge-on-read`` analogue): a batch appends LWW-winner delta files instead
+of joining + rewriting buckets; readers fold per key by ``_lsn``;
+``maintenance.compact`` folds deltas into base files. Semantics must be
+indistinguishable from COW — same invariant as the reference's idempotent
+``replace into`` path (CanalEntry2RowDataInfoMappingFormat.scala:55 in
+/root/reference)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from estuary_spark.config import SyncConfig
+from estuary_spark.generator import LogSpec, expected_final_state, read_log, write_log
+from estuary_spark.maintenance import compact
+from estuary_spark.runner import read_final_state, run_sync
+from estuary_spark.tables import LakeTable
+
+
+def _state(df):
+    return {tuple(r) for r in df.select(*sorted(df.columns)).collect()}
+
+
+def _mk_cfg(tmpdir_path, name, **kw):
+    return SyncConfig(
+        source_log_dir=os.path.join(tmpdir_path, "log"),
+        target_table_dir=os.path.join(tmpdir_path, name),
+        n_buckets=8,
+        **kw,
+    )
+
+
+def test_mor_equals_cow_and_fold(spark, tmpdir_path):
+    spec = LogSpec(n_convs=60, max_turns=10, seed=19)
+    write_log(spark, spec, os.path.join(tmpdir_path, "log"))
+
+    cow = _mk_cfg(tmpdir_path, "t_cow", write_mode="cow")
+    mor = _mk_cfg(tmpdir_path, "t_mor", write_mode="mor", compact_every=0)
+    run_sync(spark, cow, events_per_batch=500)
+    run_sync(spark, mor, events_per_batch=500)
+
+    expected = _state(expected_final_state(read_log(spark, cow.source_log_dir)))
+    assert _state(read_final_state(spark, cow)) == expected
+    assert _state(read_final_state(spark, mor)) == expected
+
+    # MoR actually wrote deltas (no auto-compaction here)
+    t = LakeTable(mor.target_table_dir)
+    assert t.delta_buckets(), "mor run produced no delta files"
+
+
+def test_mor_compaction_transparent(spark, tmpdir_path):
+    spec = LogSpec(n_convs=40, max_turns=8, seed=23)
+    write_log(spark, spec, os.path.join(tmpdir_path, "log"))
+
+    mor = _mk_cfg(tmpdir_path, "t", write_mode="mor", compact_every=0)
+    run_sync(spark, mor, events_per_batch=400)
+    t = LakeTable(mor.target_table_dir)
+    before = _state(read_final_state(spark, mor))
+
+    n = compact(spark, t, max_files_per_bucket=10**9, max_delta_files_per_bucket=0)
+    assert n > 0
+    assert not t.delta_buckets()  # all deltas folded away
+    assert _state(read_final_state(spark, mor)) == before
+
+    # compacted reads are fold-free: plan has no aggregation
+    plan = t.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "Aggregate" not in plan
+
+
+def test_mor_auto_compaction_in_runner(spark, tmpdir_path):
+    spec = LogSpec(n_convs=40, max_turns=8, seed=29)
+    write_log(spark, spec, os.path.join(tmpdir_path, "log"))
+
+    mor = _mk_cfg(tmpdir_path, "t", write_mode="mor", compact_every=2)
+    run_sync(spark, mor, events_per_batch=300)
+    t = LakeTable(mor.target_table_dir)
+    # auto-compaction kept the per-bucket delta chain below the threshold
+    dcounts = t.manifest().get("delta_files", {})
+    assert all(len(v) < 2 for v in dcounts.values())
+    expected = _state(expected_final_state(read_log(spark, mor.source_log_dir)))
+    assert _state(read_final_state(spark, mor)) == expected
+
+
+def test_mor_replay_is_noop(spark, tmpdir_path):
+    spec = LogSpec(n_convs=30, max_turns=6, seed=31)
+    write_log(spark, spec, os.path.join(tmpdir_path, "log"))
+
+    mor = _mk_cfg(tmpdir_path, "t", write_mode="mor", compact_every=0)
+    run_sync(spark, mor, events_per_batch=400)
+    t = LakeTable(mor.target_table_dir)
+    v1 = t.current_version()
+    before = _state(read_final_state(spark, mor))
+
+    # full replay: start LSN resolves past the applied ranges (or every
+    # range is detected as applied) — either way nothing re-commits
+    s2 = run_sync(spark, mor, events_per_batch=400)
+    assert s2.batches_run == 0
+    assert t.current_version() == v1
+    assert _state(read_final_state(spark, mor)) == before
+
+
+def test_mor_delete_then_reinsert_across_batches(spark, tmpdir_path):
+    """Tombstone in one delta, higher-LSN re-insert in a later delta: the
+    fold must resurrect the key; a LOWER-LSN late update must not."""
+    rows = [
+        (1, "insert", "c1", 0, "v1"),
+        (2, "delete", "c1", 0, None),
+        (5, "insert", "c1", 0, "v3"),
+        (3, "update", "c1", 0, "late"),  # lower LSN than the re-insert
+    ]
+    df = spark.createDataFrame(rows, ["lsn", "op", "conv_id", "turn_idx", "text"])
+    log_dir = os.path.join(tmpdir_path, "log")
+    df.repartitionByRange(4, "lsn").sortWithinPartitions("lsn").write.parquet(log_dir)
+
+    cfg = SyncConfig(
+        source_log_dir=log_dir,
+        target_table_dir=os.path.join(tmpdir_path, "t"),
+        n_buckets=2,
+        write_mode="mor",
+        compact_every=0,
+        envelope_cols=("lsn", "op"),
+    )
+    # one event per batch => four delta commits in LSN order
+    run_sync(spark, cfg, events_per_batch=1)
+    out = read_final_state(spark, cfg).collect()
+    assert len(out) == 1
+    assert out[0]["text"] == "v3"
