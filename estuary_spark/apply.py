@@ -89,18 +89,8 @@ def _apply_mor(
         F.col(BUCKET_COL).alias("_s_bucket"),
     )
     n_src_wins = F.col("_t_lsn").isNull() | (F.col("_s_lsn") > F.col("_t_lsn"))
-    lineage_rows = [
-        {
-            "batch_id": batch_id,
-            "partition_id": int(r["b"]),
-            "offset_start": offset_range[0],
-            "offset_end": offset_range[1],
-            "rows_upserted": int(r["ups"] or 0),
-            "rows_deleted": int(r["dels"] or 0),
-            "late_events": int(r["late"] or 0),
-            "out_of_order_events": int(r["ooo"] or 0),
-        }
-        for r in s_n.join(t_n, on=key_cols, how="left")
+    agg_rows = (
+        s_n.join(t_n, on=key_cols, how="left")
         .groupBy(F.col("_s_bucket").alias("b"))
         .agg(
             F.sum(F.when(n_src_wins & ~F.col("_s_del"), 1).otherwise(0)).alias("ups"),
@@ -115,10 +105,32 @@ def _apply_mor(
             ).alias("dels"),
             F.sum(F.when(F.col("_t_lsn").isNotNull() & ~n_src_wins, 1).otherwise(0)).alias("late"),
             F.sum(F.col("_s_n") - 1).alias("ooo"),
+            F.sum(F.when(n_src_wins, 1).otherwise(0)).alias("wins"),
         )
         .collect()
+    )
+    n_wins = sum(int(r["wins"] or 0) for r in agg_rows)
+    lineage_rows = [
+        {
+            "batch_id": batch_id,
+            "partition_id": int(r["b"]),
+            "offset_start": offset_range[0],
+            "offset_end": offset_range[1],
+            "rows_upserted": int(r["ups"] or 0),
+            "rows_deleted": int(r["dels"] or 0),
+            "late_events": int(r["late"] or 0),
+            "out_of_order_events": int(r["ooo"] or 0),
+        }
+        for r in agg_rows
     ]
     _pt = _tick("mor-lineage", _pt)
+
+    if n_wins == 0:
+        # pure replay: every source row lost the LSN guard — commit nothing
+        # (a delete for an absent key counts as a win: its tombstone delta
+        # must be written so a later lower-LSN event cannot resurrect it)
+        winners.unpersist()
+        return BatchResult(batch_id, True, None, offset_range, [], int((time.time() - t0) * 1000))
 
     version = table.commit_delta(
         spark,
@@ -185,8 +197,22 @@ def apply_batch(
     cfg: SyncConfig,
     batch_id: int,
     offset_range: tuple[int, int] | None = None,
+    check_applied_range: bool = True,
 ) -> BatchResult:
-    """Apply one micro-batch of change events to the target table."""
+    """Apply one micro-batch of change events to the target table.
+
+    ``check_applied_range=True`` is valid ONLY when batches arrive as
+    contiguous, non-overlapping LSN ranges (the batch runner's plan): a
+    replayed range then nests inside an applied range and is skipped
+    driver-side. An unordered source (Structured Streaming file batches —
+    listing order is modification-time, not LSN) must pass ``False``:
+    a later batch's [min, max] can nest inside the UNION of earlier ranges
+    without its events having been applied, so the range fast-path would
+    drop data. Exactly-once there rests on merge idempotence instead —
+    every batch where no source row beats the target (``wins == 0``) is
+    detected after the LSN-guard join and commits nothing, so a replay
+    still produces zero new snapshots.
+    """
     t0 = time.time()
     key_cols = list(cfg.key_cols)
 
@@ -200,8 +226,8 @@ def apply_batch(
 
     _pt = _tick("offset-range", t0)
 
-    # ---- exactly-once: skip a fully-applied (replayed) offset range
-    if table.is_range_applied(*offset_range):
+    # ---- exactly-once fast path: skip a fully-applied (replayed) range
+    if check_applied_range and table.is_range_applied(*offset_range):
         return BatchResult(batch_id, True, None, offset_range, [], int((time.time() - t0) * 1000))
 
     # ---- event-type filter (F1) — only DML row events flow
@@ -299,6 +325,11 @@ def apply_batch(
         .alias("_l_late")
     )
     sel.append(F.coalesce(F.col("_s_n") - 1, F.lit(0)).alias("_l_ooo"))
+    # any source row that wins mutates table state (insert, update, delete
+    # marking — including a tombstone for an absent key, which must be
+    # written so a later lower-LSN event cannot resurrect it); wins == 0
+    # across the batch ⇒ pure replay ⇒ commit nothing
+    sel.append(F.when(src_wins, 1).otherwise(0).alias("_l_win"))
 
     from pyspark import StorageLevel
 
@@ -307,6 +338,19 @@ def apply_batch(
 
     # ---- lineage (M1) aggregated from the persisted join; this action
     # materializes the join once, the commit write below re-reads the cache
+    agg_rows = (
+        merged.groupBy(F.col(BUCKET_COL).alias("b"))
+        .agg(
+            F.sum("_l_up").alias("ups"),
+            F.sum("_l_del").alias("dels"),
+            F.sum("_l_late").alias("late"),
+            F.sum("_l_ooo").alias("ooo"),
+            F.sum("_l_win").alias("wins"),
+        )
+        .filter((F.col("ups") + F.col("dels") + F.col("late") + F.col("ooo") + F.col("wins")) > 0)
+        .collect()
+    )
+    n_wins = sum(int(r["wins"] or 0) for r in agg_rows)
     lineage_rows = [
         {
             "batch_id": batch_id,
@@ -318,17 +362,15 @@ def apply_batch(
             "late_events": int(r["late"] or 0),
             "out_of_order_events": int(r["ooo"] or 0),
         }
-        for r in merged.groupBy(F.col(BUCKET_COL).alias("b"))
-        .agg(
-            F.sum("_l_up").alias("ups"),
-            F.sum("_l_del").alias("dels"),
-            F.sum("_l_late").alias("late"),
-            F.sum("_l_ooo").alias("ooo"),
-        )
-        .filter((F.col("ups") + F.col("dels") + F.col("late") + F.col("ooo")) > 0)
-        .collect()
+        for r in agg_rows
     ]
     _pt = _tick("lineage-agg", _pt)
+
+    if n_wins == 0:
+        # pure replay (every source row lost the LSN guard): no commit
+        merged.unpersist()
+        winners.unpersist()
+        return BatchResult(batch_id, True, None, offset_range, [], int((time.time() - t0) * 1000))
 
     # keep only physical table columns, in schema order (flags dropped)
     final = merged.select(*[c for c in tschema.names])

@@ -8,10 +8,14 @@ drained-pipeline boundary where DDL (schema reconciliation) and the
 atomic MERGE commit happen. ``MERGE`` has no direct streaming sink, so
 ``foreachBatch`` is the idiomatic bridge (SURVEY.md §7.4.5).
 
-Exactly-once: Spark's checkpoint WAL gives at-least-once file replay; the
-LakeTable's applied-offset-range properties turn a replayed batch into a
-no-op, and LWW-by-LSN makes the pipeline order-insensitive — file batches
-may arrive in any order and still converge to the same table state.
+Exactly-once: Spark's checkpoint WAL gives at-least-once file replay;
+LWW-by-LSN makes the merge order-insensitive and idempotent, and a batch
+in which no source row beats the target's LSN guard (``wins == 0``) is
+detected and commits nothing — so replays produce zero new snapshots and
+file batches may arrive in any order yet converge to the same state.
+(The [min,max] applied-range fast path is NOT used here: file listing
+order is modification-time, not LSN, so range containment could falsely
+skip unapplied events.)
 
 On a real cluster the same code runs with a Kafka source: swap
 ``readStream.parquet`` for ``readStream.format("kafka")`` + a payload
@@ -54,7 +58,14 @@ def run_sync_streaming(
 
     def handle(batch_df, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        res = apply_batch(sess, table, batch_df, cfg, int(batch_id), offset_range=None)
+        # file batches arrive in listing (modification-time) order, NOT LSN
+        # order, so [min,max]-range containment is not a safe replay test
+        # here (a later batch's range can nest inside the union of earlier
+        # ones with its events never applied) — rely on the wins==0 no-op
+        # detection after the LSN-guard join instead
+        res = apply_batch(
+            sess, table, batch_df, cfg, int(batch_id), offset_range=None, check_applied_range=False
+        )
         stats["batches"] += 1
         if res.skipped:
             stats["skipped"] += 1
@@ -63,6 +74,20 @@ def run_sync_streaming(
         stats["deleted"] += sum(r["rows_deleted"] for r in res.lineage)
         if cfg.lineage_dir:
             append_lineage(sess, cfg.lineage_dir, res.lineage)
+        # MoR: bound the per-bucket delta chain (same policy as the batch
+        # runner) — foreachBatch is the drained-pipeline point, so the
+        # compaction commit can't race an in-flight merge
+        if cfg.write_mode == "mor" and cfg.compact_every > 0:
+            from estuary_spark.maintenance import compact
+
+            dcounts = table.manifest().get("delta_files", {})
+            if dcounts and max(len(v) for v in dcounts.values()) >= cfg.compact_every:
+                compact(
+                    sess,
+                    table,
+                    max_files_per_bucket=10**9,
+                    max_delta_files_per_bucket=max(0, cfg.compact_every - 1),
+                )
 
     writer = (
         stream.writeStream.foreachBatch(handle)

@@ -36,6 +36,10 @@ def main() -> None:
     ap.add_argument("--stop-at-lsn", type=int, default=None, help="bounded catch-up run (snapshot-at-offset, C6 analogue)")
     ap.add_argument("--partition-strategy", default="primary_key",
                     choices=["mod", "primary_key", "table", "transaction"])
+    ap.add_argument("--write-mode", default="cow", choices=["cow", "mor"],
+                    help="cow = join+rewrite touched buckets; mor = O(batch) delta commits (10^10-event path)")
+    ap.add_argument("--compact-every", type=int, default=16,
+                    help="mor: fold deltas into base once a bucket has this many delta files (0 = manual)")
     ap.add_argument("--no-schema-evolution", action="store_true")
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--app-name", default="estuary-spark-sync")
@@ -61,6 +65,8 @@ def main() -> None:
         stop_at_lsn=args.stop_at_lsn,
         partition_strategy=args.partition_strategy,
         allow_schema_evolution=not args.no_schema_evolution,
+        write_mode=args.write_mode,
+        compact_every=args.compact_every,
     )
 
     if args.streaming:
