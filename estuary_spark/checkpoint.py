@@ -40,11 +40,22 @@ def load_checkpoint(path: str) -> dict | None:
         return json.load(fh)
 
 
-def resolve_start_lsn(cfg_start: int | None, checkpoint_path: str | None, table: LakeTable) -> int:
+def resolve_start_lsn(
+    cfg_start: int | None,
+    checkpoint_path: str | None,
+    table: LakeTable,
+    start_ts: str | None = None,
+    log_df=None,
+    ts_col: str = "ts",
+    lsn_col: str = "lsn",
+) -> int:
     """Start-position resolution (estuary C2 analogue): an explicitly
     supplied start wins (forced replay is safe — committed ranges are
     skipped), then the checkpoint hint, then the table's own applied
-    ranges, then the start of the log."""
+    ranges, then a supplied start timestamp (estuary's binary-walk across
+    binlog files, ``LogPositionHandler.findByStartTimeStamp`` — here one
+    column-pruned min-aggregate with the ts predicate pushed to the
+    parquet scan), then the start of the log."""
     if cfg_start is not None:
         return int(cfg_start)
     if checkpoint_path:
@@ -55,4 +66,21 @@ def resolve_start_lsn(cfg_start: int | None, checkpoint_path: str | None, table:
         ranges = table.applied_ranges()
         if ranges:
             return ranges[-1][1] + 1
+    if start_ts is not None and log_df is not None:
+        from pyspark.sql import functions as F
+
+        try:
+            row = log_df.agg(
+                F.min(F.when(F.col(ts_col) >= F.to_timestamp(F.lit(start_ts)), F.col(lsn_col))).alias("lo"),
+                F.max(lsn_col).alias("mx"),
+            ).collect()[0]
+        except Exception as e:  # unparseable timestamp surfaces as a JVM error
+            raise ValueError(f"invalid start_ts {start_ts!r}: {e}") from None
+        if row["lo"] is not None:
+            return int(row["lo"])
+        # timestamp past the end of the log: start at end-of-log, apply
+        # nothing (estuary C2's `show master status` end-position fallback,
+        # LogPositionHandler.findEndPosition:213-235)
+        if row["mx"] is not None:
+            return int(row["mx"]) + 1
     return 0

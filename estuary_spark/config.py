@@ -70,6 +70,11 @@ class SyncConfig:
     # start position resolution (estuary C2: checkpoint -> supplied ->
     # timestamp -> end). None = checkpoint else 0.
     start_lsn: int | None = None
+    # start from event time instead of an LSN (estuary's binary-walk
+    # findByStartTimeStamp, LogPositionHandler.scala:319-370 — here a
+    # single min-aggregate over the log's ts column). Ignored when
+    # start_lsn or a checkpoint is present.
+    start_ts: str | None = None
     stop_at_lsn: int | None = None
 
     # schema evolution: allow additive column adds at batch start

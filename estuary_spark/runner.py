@@ -101,7 +101,14 @@ def run_sync(
     """Run the sync task to the end of the log (or ``stop_at_lsn``)."""
     log_df = read_log(spark, cfg.source_log_dir)
     table = open_or_create_table(spark, cfg, log_df)
-    start = resolve_start_lsn(cfg.start_lsn, cfg.checkpoint_path, table)
+    start = resolve_start_lsn(
+        cfg.start_lsn,
+        cfg.checkpoint_path,
+        table,
+        start_ts=cfg.start_ts,
+        log_df=log_df,
+        lsn_col=cfg.lsn_col,
+    )
 
     st = load_checkpoint(cfg.checkpoint_path) if cfg.checkpoint_path else None
     batch_id = int(st["next_batch_id"]) if st else 0

@@ -20,7 +20,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# running the script directly (python jobs/sync_job.py) puts jobs/ on the
+# path, not the repo root; under spark-submit --py-files the zip provides
+# the package instead and this is a no-op
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -33,6 +39,8 @@ def main() -> None:
     ap.add_argument("--salt", type=int, default=8)
     ap.add_argument("--events-per-batch", type=int, default=1_000_000)
     ap.add_argument("--start-lsn", type=int, default=None)
+    ap.add_argument("--start-ts", default=None,
+                    help="start from event time, e.g. '2024-01-02 00:00:00' (C2 timestamp resolution)")
     ap.add_argument("--stop-at-lsn", type=int, default=None, help="bounded catch-up run (snapshot-at-offset, C6 analogue)")
     ap.add_argument("--partition-strategy", default="primary_key",
                     choices=["mod", "primary_key", "table", "transaction"])
@@ -62,6 +70,7 @@ def main() -> None:
         n_buckets=args.buckets,
         salt_factor=args.salt,
         start_lsn=args.start_lsn,
+        start_ts=args.start_ts,
         stop_at_lsn=args.stop_at_lsn,
         partition_strategy=args.partition_strategy,
         allow_schema_evolution=not args.no_schema_evolution,
