@@ -55,7 +55,6 @@ def _apply_mor(
     offset_range: tuple[int, int],
     tschema: T.StructType,
     user_cols: list[str],
-    touched: list[int],
     t0: float,
 ) -> "BatchResult":
     """Merge-on-read apply: append the batch's LWW winners as delta files.
@@ -65,7 +64,9 @@ def _apply_mor(
     ``maintenance.compact`` amortizes). Lineage still compares against the
     current table state, but through a COLUMN-PRUNED read (key, _lsn,
     _deleted only) so the target side of the lineage join scans a few
-    narrow columns instead of the full transcript text.
+    narrow columns instead of the full transcript text. Two driver
+    actions per batch total: the lineage aggregate (which also
+    materializes the winners cache) and the delta write.
     """
     key_cols = list(cfg.key_cols)
     _pt = time.time()
@@ -78,7 +79,7 @@ def _apply_mor(
     ).select(*[c for c in tschema.names])
 
     # ---- lineage (M1) via narrow folded target read
-    t_n = table.read(spark, buckets=touched, include_tombstones=True, columns=[]).select(
+    t_n = table.read(spark, include_tombstones=True, columns=[]).select(
         *key_cols, F.col(LSN_COL).alias("_t_lsn"), F.col(DELETED_COL).alias("_t_deleted")
     )
     s_n = winners.select(
@@ -247,22 +248,33 @@ def apply_batch(
             proj.append(F.lit(None).cast(tschema[c].dataType).alias(c))
     changes = batch_df.select(F.col(cfg.lsn_col).alias("lsn"), F.col(cfg.op_col).alias("op"), *proj)
 
+    # ---- per-event transform chain (T1-T4): vectorized payload decode /
+    # text normalization / redaction before the reduce
+    if cfg.transforms:
+        from estuary_spark.functions.transcripts import transform_chain
+
+        changes = transform_chain(changes, list(cfg.transforms))
+
     # ---- salted LWW reduce: one winner per key (P4 + P6)
     winners = lww_reduce(changes, key_cols, lsn_col="lsn", salt_factor=cfg.salt_factor, op_col="op")
 
     # ---- bucket routing (P2): the hash shuffle is the consistent-hash router
     winners = winners.withColumn(BUCKET_COL, bucket_expr(key_cols[0], table.manifest()["n_buckets"]))
     winners = winners.persist()
+
+    if cfg.write_mode == "mor":
+        # MoR needs no touched-bucket set (deltas append, the lineage read
+        # is column-pruned): skipping the distinct+collect saves one
+        # driver-side job per batch — serial time that caps N->4N scaling
+        return _apply_mor(
+            spark, table, winners, cfg, batch_id, offset_range, tschema, user_cols, t0
+        )
+
     touched = [r[BUCKET_COL] for r in winners.select(BUCKET_COL).distinct().collect()]
     _pt = _tick("lww+touched", _pt)
     if not touched:
         winners.unpersist()
         return BatchResult(batch_id, True, None, offset_range, [], int((time.time() - t0) * 1000))
-
-    if cfg.write_mode == "mor":
-        return _apply_mor(
-            spark, table, winners, cfg, batch_id, offset_range, tschema, user_cols, touched, t0
-        )
 
     # ---- MERGE: bucket-pruned copy-on-write join (T2)
     target = table.read(spark, buckets=touched, include_tombstones=True)

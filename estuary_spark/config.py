@@ -80,6 +80,13 @@ class SyncConfig:
     # schema evolution: allow additive column adds at batch start
     allow_schema_evolution: bool = True
 
+    # per-event transform chain applied to each batch before the LWW
+    # reduce (estuary MappingFormat/T1-T4 analogue): names registered in
+    # functions/transcripts.py; each is vectorized (built-in exprs or
+    # Arrow pandas UDFs — never per-row Python). Transforms must preserve
+    # the key/envelope columns.
+    transforms: tuple[str, ...] = ()
+
     # columns never projected into the target (event-envelope columns)
     envelope_cols: tuple[str, ...] = ("lsn", "op", "commit_ts", "txn_id", "schema_ver")
 

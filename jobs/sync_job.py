@@ -49,6 +49,8 @@ def main() -> None:
     ap.add_argument("--compact-every", type=int, default=16,
                     help="mor: fold deltas into base once a bucket has this many delta files (0 = manual)")
     ap.add_argument("--no-schema-evolution", action="store_true")
+    ap.add_argument("--transforms", default="",
+                    help="comma-separated per-event transform chain, e.g. normalize_whitespace,redact_pii")
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--app-name", default="estuary-spark-sync")
     args = ap.parse_args()
@@ -76,6 +78,7 @@ def main() -> None:
         allow_schema_evolution=not args.no_schema_evolution,
         write_mode=args.write_mode,
         compact_every=args.compact_every,
+        transforms=tuple(t for t in args.transforms.split(",") if t),
     )
 
     if args.streaming:

@@ -62,3 +62,28 @@ def test_heartbeat_listener_records_progress(spark, tmpdir_path):
     assert len(report) == 1
     assert report[0]["total_rows"] > 0
     assert not report[0]["stalled"]
+
+
+def test_transform_chain_in_pipeline(spark, tmpdir_path):
+    """Per-event transforms (T1-T4) run inside apply_batch before the LWW
+    reduce: whitespace normalization + PII redaction reach the table."""
+    rows = [
+        (1, "insert", "c1", 0, "  hello   world  "),
+        (2, "update", "c1", 0, " mail  me: bob@example.com  now "),
+        (3, "insert", "c2", 1, "clean text"),
+    ]
+    df = spark.createDataFrame(rows, ["lsn", "op", "conv_id", "turn_idx", "text"])
+    log_dir = os.path.join(tmpdir_path, "log")
+    df.repartitionByRange(2, "lsn").write.parquet(log_dir)
+
+    cfg = SyncConfig(
+        source_log_dir=log_dir,
+        target_table_dir=os.path.join(tmpdir_path, "t"),
+        n_buckets=2,
+        envelope_cols=("lsn", "op"),
+        transforms=("normalize_whitespace", "redact_pii"),
+    )
+    run_sync(spark, cfg, events_per_batch=10)
+    out = {(r["conv_id"], r["turn_idx"]): r["text"] for r in read_final_state(spark, cfg).collect()}
+    assert out[("c1", 0)] == "mail me: <email> now"
+    assert out[("c2", 1)] == "clean text"
