@@ -137,6 +137,21 @@ def q_cdc_fold_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transcript_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level rollup over the folded transcript state (the
+    functions/transcripts.py analytics stage): turns, chars, last LSN."""
+    from estuary_spark.operators.lww import lww_reduce
+
+    log = _derive_cdc_log(spark, sf_dir)
+    w = lww_reduce(log, ["conv_id", "turn_idx"], lsn_col="lsn", salt_factor=4)
+    live = w.filter(F.col("op") != "delete")
+    return live.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.max("lsn").alias("max_lsn"),
+    )
+
+
 def q_cdc_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-based LWW: latest event per user (P4 analogue on raw events)."""
     ev = _load(spark, sf_dir, "events")
@@ -390,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_fold_engine_mor": q_cdc_fold_engine_mor,
         "cdc_fold_declarative": q_cdc_fold_declarative,
         "cdc_latest_per_user": q_cdc_latest_per_user,
+        "transcript_stats": q_transcript_stats,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_supplier_volume": q5_supplier_volume,
@@ -416,6 +432,15 @@ def oracle_sql() -> dict[str, str]:
         "cdc_fold_engine": _CDC_ORACLE_FOLD,
         "cdc_fold_engine_mor": _CDC_ORACLE_FOLD,
         "cdc_fold_declarative": _CDC_ORACLE_FOLD,
+        "transcript_stats": f"""
+            WITH fold AS ({_CDC_ORACLE_FOLD})
+            SELECT conv_id,
+                   COUNT(*) AS n_turns,
+                   SUM(LENGTH(text)) AS total_chars,
+                   MAX(_lsn) AS max_lsn
+            FROM fold
+            GROUP BY conv_id
+        """,
         "cdc_latest_per_user": """
             SELECT user_id,
                    event_id AS last_event_id,

@@ -94,7 +94,11 @@ def run_apply(spark, dirs: dict, cpus: int, warmup: bool = False) -> dict:
             target_table_dir=dirs["table"],
             lineage_dir=dirs["lineage"],
             n_buckets=max(32, cpus),
-            salt_factor=8,
+            # map-side partial agg IS the local pre-merge reduce; explicit
+            # salting (an extra full shuffle per batch) is for pathological
+            # single-key floods — the synthetic hot keys (<=64 events/key/
+            # batch) are fully absorbed by the partial aggregate
+            salt_factor=int(os.environ.get("ESTUARY_BENCH_SALT", "0")),
             write_mode=os.environ.get("ESTUARY_BENCH_MODE", "mor"),
             compact_every=int(os.environ.get("ESTUARY_BENCH_COMPACT_EVERY", "8")),
         )
@@ -129,6 +133,37 @@ def machine_ceiling_probe(spark, cpus: int, n: int = 1 << 32) -> float:
     probe(n >> 4, cpus * 8)  # warm the codegen path
     t0 = _t.time()
     probe(n, cpus * 8)
+    return _t.time() - t0
+
+
+def machine_shuffle_probe(spark, cpus: int, n: int = 60_000_000) -> float:
+    """Shuffle-shaped ceiling probe: wide rows hashed to many keys, one
+    full shuffle + aggregation (the memory-bandwidth-bound kernel the
+    merge-apply pipeline is made of — shuffle write/fetch + hash-agg).
+    The codegen probe bounds CPU scaling; this bounds the shuffle path
+    (DRAM bandwidth is shared across a single box's cores, unlike a real
+    cluster where each node brings its own)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    def probe(rows):
+        return (
+            spark.range(rows, numPartitions=cpus * 8)
+            .select(
+                F.pmod(F.xxhash64("id"), F.lit(rows // 4)).alias("k"),
+                F.md5(F.col("id").cast("string")).alias("payload"),
+                F.col("id").alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.max_by(F.col("payload"), F.col("v")).alias("p"), F.count(F.lit(1)).alias("n"))
+            .select(F.sum(F.length("p")), F.sum("n"))
+            .collect()
+        )
+
+    probe(n >> 4)  # warm
+    t0 = _t.time()
+    probe(n)
     return _t.time() - t0
 
 
@@ -206,6 +241,7 @@ def main() -> None:
         }
         if os.environ.get("ESTUARY_BENCH_PROBE", "") == "1":
             out["probe_sec"] = round(machine_ceiling_probe(spark, cpus), 2)
+            out["shuffle_probe_sec"] = round(machine_shuffle_probe(spark, cpus), 2)
         print(json.dumps(out))
         return
 
@@ -237,9 +273,16 @@ def main() -> None:
             "low_events_per_sec": s["low"]["events_per_sec"],
             "high_events_per_sec": s["high"]["events_per_sec"],
             "efficiency_raw": round(s["efficiency"], 3),
-            "machine_ceiling": round(s["machine_ceiling"], 3) if s.get("machine_ceiling") else None,
-            "efficiency_vs_machine_ceiling": (
-                round(s["normalized_efficiency"], 3) if s.get("normalized_efficiency") else None
+            "machine_ceiling_codegen": (
+                round(s["machine_ceiling_codegen"], 3) if s.get("machine_ceiling_codegen") else None
+            ),
+            "machine_ceiling_shuffle": (
+                round(s["machine_ceiling_shuffle"], 3) if s.get("machine_ceiling_shuffle") else None
+            ),
+            "efficiency_vs_shuffle_ceiling": (
+                round(s["efficiency_vs_shuffle_ceiling"], 3)
+                if s.get("efficiency_vs_shuffle_ceiling")
+                else None
             ),
         }
     print(json.dumps(out))

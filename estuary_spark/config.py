@@ -51,8 +51,17 @@ class SyncConfig:
     # ``partitioned by bucket(N, conv_id)``)
     n_buckets: int = 32
 
-    # skew handling: salt factor for the pre-merge local reduce
-    salt_factor: int = 8
+    # hot-key skew handling. The LOCAL PRE-MERGE REDUCE is always on:
+    # LWW (max_by) is algebraic, so Catalyst's map-side partial
+    # aggregation reduces each map partition to one row per key before the
+    # shuffle — per-key reduce-side fan-in is bounded by the number of map
+    # partitions regardless of how hot a key is. salt_factor > 1
+    # additionally splits each key into salt sub-groups with an extra
+    # full shuffle — only worth it in the pathological case of a single
+    # key receiving a large fraction of a batch AND map-side hash-agg
+    # spill becoming the bottleneck; it costs a second full-width shuffle
+    # of every batch, so it is off by default.
+    salt_factor: int = 0
 
     # merge strategy (Iceberg ``write.merge.mode`` analogue):
     #   "cow"  — copy-on-write: each batch joins + rewrites touched buckets;
