@@ -235,18 +235,29 @@ def simhash64(col: Column, k_tokens: int = 0) -> Column:
 def simhash64_from_hashes(hashes: Column) -> Column:
     """SimHash from a (preferably pre-materialized) token-hash array —
     materializing the hash array once avoids re-tokenizing/re-hashing the
-    text for each of the 64 bit aggregates."""
+    text per bit.
 
-    def bit_counter(b: int):
-        # closure factory (see minhash_signature note on lambda arity)
-        return lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+    Single pass over the tokens: the fold accumulator is the 64-vector of
+    per-bit +1/-1 counts (``zip_with`` against each hash's sign vector,
+    extracted with a literal bit-mask array), then the positive counts are
+    re-packed into the 64-bit fingerprint via a power-of-two literal array
+    — 1 token-array traversal instead of 64."""
 
-    out = F.lit(0).cast("long")
-    for b in range(64):
-        cnt = F.aggregate(hashes, F.lit(0).cast("long"), bit_counter(b))
-        bit = F.when(cnt > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        out = out.bitwiseOR(F.shiftleft(bit, b))
-    return out
+    def signed64(x: int) -> int:
+        x &= (1 << 64) - 1
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    masks = F.array(*[F.lit(signed64(1 << b)).cast("long") for b in range(64)])
+    zero = F.array_repeat(F.lit(0).cast("long"), 64)
+
+    def signs(h: Column) -> Column:
+        return F.transform(masks, lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1))
+
+    counts = F.aggregate(hashes, zero, lambda acc, h: F.zip_with(acc, signs(h), lambda a, s: a + s))
+    bits = F.zip_with(
+        counts, masks, lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a.bitwiseOR(b))
 
 
 def simhash_bands(col: Column, band_bits: int = 16) -> Column:

@@ -87,6 +87,30 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("int")
 
 
+def lsh_table_buckets(vec: Column, tables: list[list[list[float]]], n_planes: int) -> Column:
+    """Keyed bucket ids for ALL hash tables in one expression.
+
+    ``tables`` is a T x n_planes x dim literal; the whole signature is one
+    nested higher-order expression (transform over tables, zip_with over
+    planes x bit weights) instead of T*n_planes separate aggregate
+    subtrees — same arithmetic, a fraction of the plan size/compile cost.
+    Returns ``array<int>`` of ``t * 2^n_planes + bucket_t``.
+    """
+    tbls = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in plane]) for plane in tbl])
+            for tbl in tables
+        ]
+    )
+    pow2 = F.array(*[F.lit(1 << j) for j in range(n_planes)])
+    per_table = lambda tbl: F.aggregate(
+        F.zip_with(tbl, pow2, lambda plane, pw: F.when(dot(vec, plane) >= 0, pw).otherwise(F.lit(0))),
+        F.lit(0),
+        lambda a, b: a + b,
+    )
+    return F.transform(tbls, lambda tbl, t: (t * (1 << n_planes) + per_table(tbl)).cast("int"))
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -116,21 +140,22 @@ def lsh_ann_topk(
         dim = len(corpus.select(vec_col).first()[0])
     tables = [_hyperplanes(dim, n_planes, seed + 1_000_003 * t) for t in range(n_tables)]
 
-    # combined join key: table_id * 2^n_planes + bucket
-    def keyed(sig: Column, t: int) -> Column:
-        return (F.lit(t * (1 << n_planes)) + sig).cast("int")
-
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv")).withColumn(
-        "bucket",
-        F.explode(F.array(*[keyed(lsh_signature(F.col("_cv"), tables[t]), t) for t in range(n_tables)])),
+        "bucket", F.explode(lsh_table_buckets(F.col("_cv"), tables, n_planes))
     )
-    probe_cols = []
-    for t in range(n_tables):
-        sig = lsh_signature(F.col("_qv"), tables[t])
-        probe_cols.append(keyed(sig, t))
-        probe_cols.extend(keyed(sig.bitwiseXOR(F.lit(1 << i)), t) for i in range(n_planes))
+    # probes: each table's own bucket plus its hamming-1 neighbors (the
+    # XOR flips only low signature bits, below the table-offset bits)
+    flips = F.array(F.lit(0), *[F.lit(1 << i) for i in range(n_planes)])
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv")).withColumn(
-        "bucket", F.explode(F.array(*probe_cols))
+        "bucket",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    lsh_table_buckets(F.col("_qv"), tables, n_planes),
+                    lambda kb: F.transform(flips, lambda fl: kb.bitwiseXOR(fl).cast("int")),
+                )
+            )
+        ),
     )
     cand = (
         c.join(F.broadcast(q), on="bucket")
