@@ -84,7 +84,7 @@ def run_apply(spark, dirs: dict, cpus: int, warmup: bool = False) -> dict:
     from estuary_spark.config import SyncConfig
     from estuary_spark.runner import run_sync
 
-    epb = int(os.environ.get("ESTUARY_BENCH_EPB", "250000"))
+    epb = int(os.environ.get("ESTUARY_BENCH_EPB", "500000"))
 
     def fresh_cfg() -> SyncConfig:
         for d in (dirs["table"], dirs["lineage"]):
