@@ -206,18 +206,25 @@ def ivf_topk(
             if len(m):
                 cents[ci] = m.mean(0)
 
+    # all centroid distances in ONE nested higher-order expression (a
+    # single transform over the centroid literal matrix) — not one
+    # aggregate subtree per centroid, which bloats the plan and compile
+    # time linearly in n_clusters (see lsh_table_buckets)
+    cent_mat = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for cv in cents])
+
     def nearest_cluster(vec: Column, topn: int) -> Column:
-        dists = []
-        for ci, cv in enumerate(cents):
-            cvec = F.array(*[F.lit(float(x)) for x in cv])
-            d2 = F.aggregate(
-                F.zip_with(vec, cvec, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            dists.append(F.struct(d2.alias("d"), F.lit(ci).alias("c")))
-        arr = F.array_sort(F.array(*dists))
-        return F.transform(F.slice(arr, 1, topn), lambda s: s["c"])
+        dists = F.transform(
+            cent_mat,
+            lambda cvec, ci: F.struct(
+                F.aggregate(
+                    F.zip_with(vec, cvec, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                ci.alias("c"),
+            ),
+        )
+        return F.transform(F.slice(F.array_sort(dists), 1, topn), lambda s: s["c"])
 
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv")).withColumn(
         "cluster", F.element_at(nearest_cluster(F.col("_cv"), 1), 1)
