@@ -377,7 +377,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     corpus = emb.filter(F.col("vec_id") >= 5)
-    return ivf_topk(corpus, queries, k=5, n_clusters=8, nprobe=3)
+    # random (unclusterable) embeddings need a high nprobe/n_clusters ratio
+    # for recall — 0.88 at 6/8 on this data; real clustered corpora probe
+    # a far smaller fraction
+    return ivf_topk(corpus, queries, k=5, n_clusters=8, nprobe=6)
 
 
 # ------------------------------------------------------------- multimodal
