@@ -1,0 +1,69 @@
+"""Maintenance ops: tombstone purge semantics and vacuum safety.
+
+estuary analogue: the position recorder's oldest saved generation is the
+low-watermark below which no in-flight events remain
+(``core/lifecycle/prototype/SourceDataPositionRecorder.scala:37-44`` in
+/root/reference) — tombstones older than it are garbage; newer ones must
+survive so a late lower-LSN event cannot resurrect a deleted key."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from estuary_spark.config import SyncConfig
+from estuary_spark.maintenance import purge_tombstones
+from estuary_spark.runner import read_final_state, run_sync
+from estuary_spark.tables import DELETED_COL, LSN_COL, LakeTable
+
+
+def _mk_table(spark, tmpdir_path, rows):
+    df = spark.createDataFrame(rows, ["lsn", "op", "conv_id", "turn_idx", "text"])
+    log_dir = os.path.join(tmpdir_path, "log")
+    df.repartitionByRange(2, "lsn").write.parquet(log_dir)
+    cfg = SyncConfig(
+        source_log_dir=log_dir,
+        target_table_dir=os.path.join(tmpdir_path, "t"),
+        n_buckets=4,
+        envelope_cols=("lsn", "op"),
+    )
+    run_sync(spark, cfg, events_per_batch=100)
+    return cfg, LakeTable(cfg.target_table_dir)
+
+
+def test_purge_drops_old_keeps_recent_tombstones(spark, tmpdir_path):
+    rows = [
+        (1, "insert", "a", 0, "x"),
+        (2, "delete", "a", 0, None),    # old tombstone, below watermark
+        (10, "insert", "b", 0, "y"),
+        (11, "delete", "b", 0, None),   # recent tombstone, above watermark
+        (12, "insert", "c", 0, "z"),    # live row
+    ]
+    cfg, t = _mk_table(spark, tmpdir_path, rows)
+
+    purged = purge_tombstones(spark, t, watermark_lsn=5)
+    assert purged == 1
+
+    full = t.read(spark, include_tombstones=True)
+    stones = {r["conv_id"] for r in full.filter(F.col(DELETED_COL)).collect()}
+    assert stones == {"b"}                      # old one gone, recent kept
+    live = {r["conv_id"] for r in read_final_state(spark, cfg).collect()}
+    assert live == {"c"}
+
+    # idempotent: second purge at the same watermark is a no-op (no commit)
+    v = t.current_version()
+    assert purge_tombstones(spark, t, watermark_lsn=5) == 0
+    assert t.current_version() == v
+
+
+def test_vacuum_removes_only_dead_files(spark, tmpdir_path):
+    rows = [(i, "insert", f"c{i}", 0, f"t{i}") for i in range(20)] + [
+        (100 + i, "update", f"c{i}", 0, f"u{i}") for i in range(20)
+    ]
+    cfg, t = _mk_table(spark, tmpdir_path, rows)
+    # several commits happened (multi-batch) -> superseded files exist
+    before = {tuple(r) for r in read_final_state(spark, cfg).select("conv_id", "text").collect()}
+    removed = t.vacuum()
+    assert removed > 0
+    after = {tuple(r) for r in read_final_state(spark, cfg).select("conv_id", "text").collect()}
+    assert after == before                      # current snapshot intact
+    assert t.vacuum() == 0                      # second vacuum: nothing left
