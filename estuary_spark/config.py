@@ -14,8 +14,18 @@ from dataclasses import dataclass, field
 
 # Partition strategies, mirroring the reference's PartitionStrategy enum
 # (bean/key/PartitionStrategy.java:8-33; README.md:68-90 documents the
-# throughput ordering MOD >= PRIMARY_KEY >= DATABASE_TABLE >> TRANSACTION).
-# In Spark these pick the repartition key of the merge stage.
+# throughput ordering MOD >= PRIMARY_KEY >= DATABASE_TABLE >> TRANSACTION —
+# estuary trades ORDER GUARANTEES for parallelism because its correctness
+# depends on per-actor mailbox arrival order).
+#
+# This engine accepts all four for config parity, but they all execute the
+# same pipeline: LWW-by-LSN makes the merge ORDER-INSENSITIVE (the winner
+# is determined by the data, not by arrival or partition order), so the
+# consistency estuary only achieves at its slowest TRANSACTION level is
+# delivered here at full MOD-level parallelism. The knob therefore never
+# needs to degrade throughput to buy consistency — the one case where it
+# would matter (strict global replay of side effects) does not exist in a
+# declarative merge.
 PARTITION_MOD = "mod"                  # round-robin: spark default hash of all cols
 PARTITION_PRIMARY_KEY = "primary_key"  # hash(conv_id, turn_idx) — the default
 PARTITION_TABLE = "table"              # hash(table) — per-table ordering

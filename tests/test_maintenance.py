@@ -67,3 +67,32 @@ def test_vacuum_removes_only_dead_files(spark, tmpdir_path):
     after = {tuple(r) for r in read_final_state(spark, cfg).select("conv_id", "text").collect()}
     assert after == before                      # current snapshot intact
     assert t.vacuum() == 0                      # second vacuum: nothing left
+
+
+def test_kafka_source_decode_shape(spark):
+    """KafkaLogSource decode (S2 analogue): kafka-shaped binary values ->
+    typed change events via JVM-side from_json; malformed JSON -> nulls,
+    never an exception (a poison message must not kill the stream)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from estuary_spark.sources.log_source import KafkaLogSource
+
+    schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = KafkaLogSource("unused:9092", "topic", schema)
+    good = json.dumps(
+        {"lsn": 7, "op": "insert", "conv_id": "c1", "turn_idx": 2, "text": "hi"}
+    ).encode()
+    raw = spark.createDataFrame([(good,), (b"not-json{",)], ["value"])
+    rows = src._decode(raw).collect()
+    assert rows[0]["lsn"] == 7 and rows[0]["turn_idx"] == 2 and rows[0]["text"] == "hi"
+    assert rows[1]["lsn"] is None  # poison message decodes to nulls
