@@ -78,9 +78,14 @@ def _apply_mor(
         F.col(BUCKET_COL),
     ).select(*[c for c in tschema.names])
 
-    # ---- lineage (M1) via narrow folded target read
-    t_n = table.read(spark, include_tombstones=True, columns=[]).select(
-        *key_cols, F.col(LSN_COL).alias("_t_lsn"), F.col(DELETED_COL).alias("_t_deleted")
+    # ---- lineage (M1) via narrow UNFOLDED target read: the per-key MoR
+    # fold happens inside the first aggregation below (max over an
+    # lsn<<1|deleted encoding — a fixed-width buffer, so the whole chain
+    # stays hash-aggregable), which saves a full narrow-table shuffle per
+    # batch versus folding first and joining second
+    t_n = table.read_unfolded(spark, columns=[]).select(
+        *key_cols,
+        (F.col(LSN_COL) * 2 + F.coalesce(F.col(DELETED_COL), F.lit(False)).cast("long")).alias("_t_ord"),
     )
     s_n = winners.select(
         *key_cols,
@@ -89,22 +94,34 @@ def _apply_mor(
         F.col("_n_events").alias("_s_n"),
         F.col(BUCKET_COL).alias("_s_bucket"),
     )
-    n_src_wins = F.col("_t_lsn").isNull() | (F.col("_s_lsn") > F.col("_t_lsn"))
-    agg_rows = (
+    per_key = (
         s_n.join(t_n, on=key_cols, how="left")
-        .groupBy(F.col("_s_bucket").alias("b"))
+        .groupBy(*key_cols)
         .agg(
-            F.sum(F.when(n_src_wins & ~F.col("_s_del"), 1).otherwise(0)).alias("ups"),
+            F.max("_t_ord").alias("_t_ord"),
+            F.max("_s_lsn").alias("_s_lsn"),
+            F.max(F.col("_s_del").cast("int")).alias("_s_del"),
+            F.max("_s_n").alias("_s_n"),
+            F.max("_s_bucket").alias("_s_bucket"),
+        )
+    )
+    t_lsn = F.shiftright(F.col("_t_ord"), 1)
+    t_deleted = F.col("_t_ord").bitwiseAND(F.lit(1)) == 1
+    n_src_wins = F.col("_t_ord").isNull() | (F.col("_s_lsn") > t_lsn)
+    agg_rows = (
+        per_key.groupBy(F.col("_s_bucket").alias("b"))
+        .agg(
+            F.sum(F.when(n_src_wins & (F.col("_s_del") == 0), 1).otherwise(0)).alias("ups"),
             F.sum(
                 F.when(
                     n_src_wins
-                    & F.col("_s_del")
-                    & F.col("_t_lsn").isNotNull()
-                    & ~F.coalesce(F.col("_t_deleted"), F.lit(False)),
+                    & (F.col("_s_del") == 1)
+                    & F.col("_t_ord").isNotNull()
+                    & ~t_deleted,
                     1,
                 ).otherwise(0)
             ).alias("dels"),
-            F.sum(F.when(F.col("_t_lsn").isNotNull() & ~n_src_wins, 1).otherwise(0)).alias("late"),
+            F.sum(F.when(F.col("_t_ord").isNotNull() & ~n_src_wins, 1).otherwise(0)).alias("late"),
             F.sum(F.col("_s_n") - 1).alias("ooo"),
             F.sum(F.when(n_src_wins, 1).otherwise(0)).alias("wins"),
         )

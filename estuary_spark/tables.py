@@ -161,6 +161,28 @@ class LakeTable:
         """Buckets that currently have un-compacted delta (MoR) files."""
         return sorted(int(b) for b, fl in self.manifest().get("delta_files", {}).items() if fl)
 
+    def read_unfolded(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Raw base+delta rows WITHOUT the MoR per-key fold: a key may
+        appear multiple times (superseded versions and tombstones
+        included). For consumers that fold as part of their own
+        aggregation (e.g. the lineage join reduces per key anyway) this
+        skips a whole-table shuffle."""
+        m = self.manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        key_cols = m.get("key_cols", [])
+        if columns is not None:
+            need = list(dict.fromkeys([*key_cols, *columns, LSN_COL, DELETED_COL, BUCKET_COL]))
+            schema = T.StructType([f for f in schema.fields if f.name in need])
+        files = self._files_for(m, "files", buckets) + self._files_for(m, "delta_files", buckets)
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*files)
+
     def read(
         self,
         spark: SparkSession,
