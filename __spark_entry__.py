@@ -255,6 +255,38 @@ def q_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (the batch shape of a
+    streaming windowed agg — `F.window` is identical under readStream
+    with a watermark)."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter + aggregate — the pushdown/codegen showcase."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
 # ------------------------------------------------------ dedup / text ops
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,6 +447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": q_top_orders_per_customer,
         "sessionize": q_sessionize,
         "events_stats": q_events_stats,
+        "hourly_event_windows": q_hourly_event_windows,
+        "q6_forecast_revenue": q6_forecast_revenue,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -524,6 +558,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events
             GROUP BY event_type
+        """,
+        "hourly_event_windows": """
+            SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "q6_forecast_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1994-01-01'
+              AND l_shipdate < DATE '1995-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
         """,
         "dedup_exact": """
             SELECT md5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint,
