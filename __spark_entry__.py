@@ -473,7 +473,7 @@ def oracle_sql() -> dict[str, str]:
             WITH fold AS ({_CDC_ORACLE_FOLD})
             SELECT conv_id,
                    COUNT(*) AS n_turns,
-                   SUM(LENGTH(text)) AS total_chars,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
                    MAX(_lsn) AS max_lsn
             FROM fold
             GROUP BY conv_id

@@ -59,17 +59,30 @@ def _apply_mor(
 ) -> "BatchResult":
     """Merge-on-read apply: append the batch's LWW winners as delta files.
 
-    Per-batch cost is O(batch) — no target-wide join, no bucket rewrite
-    (the Iceberg ``write.merge.mode=merge-on-read`` analogue; readers fold,
-    ``maintenance.compact`` amortizes). Lineage still compares against the
-    current table state, but through a COLUMN-PRUNED read (key, _lsn,
-    _deleted only) so the target side of the lineage join scans a few
-    narrow columns instead of the full transcript text. Two driver
-    actions per batch total: the lineage aggregate (which also
-    materializes the winners cache) and the delta write.
+    Per-batch cost is O(batch + touched buckets) — no target-wide join, no
+    bucket rewrite (the Iceberg ``write.merge.mode=merge-on-read`` analogue;
+    readers fold, ``maintenance.compact`` amortizes). Lineage still compares
+    against the current table state, but through a BUCKET-PRUNED (only the
+    batch's touched buckets are scanned — file-level pruning via the
+    manifest) and COLUMN-PRUNED (key, _lsn, _deleted only) read, so the
+    target side of the lineage join is O(touched buckets), not O(table).
+    Three driver actions per batch: the touched-bucket distinct (which also
+    materializes the winners cache), the lineage aggregate, and the delta
+    write. Only keys the source actually WINS are committed to the delta:
+    a rejected equal/lower-LSN row must never enter the fold (its tie with
+    the base row would be nondeterministic) and would only inflate delta
+    chains with rows that cannot win.
     """
     key_cols = list(cfg.key_cols)
     _pt = time.time()
+
+    # touched buckets (driver result is O(buckets)); this first action also
+    # materializes the winners persist, so the two later consumers reuse it
+    touched = [int(r[BUCKET_COL]) for r in winners.select(BUCKET_COL).distinct().collect()]
+    _pt = _tick("mor-touched", _pt)
+    if not touched:
+        winners.unpersist()
+        return BatchResult(batch_id, True, None, offset_range, [], int((time.time() - t0) * 1000))
 
     delta = winners.select(
         *[F.col(c) if c in winners.columns else F.lit(None).cast(tschema[c].dataType).alias(c) for c in user_cols],
@@ -83,7 +96,7 @@ def _apply_mor(
     # lsn<<1|deleted encoding — a fixed-width buffer, so the whole chain
     # stays hash-aggregable), which saves a full narrow-table shuffle per
     # batch versus folding first and joining second
-    t_n = table.read_unfolded(spark, columns=[]).select(
+    t_n = table.read_unfolded(spark, buckets=touched, columns=[]).select(
         *key_cols,
         (F.col(LSN_COL) * 2 + F.coalesce(F.col(DELETED_COL), F.lit(False)).cast("long")).alias("_t_ord"),
     )
@@ -104,7 +117,7 @@ def _apply_mor(
             F.max("_s_n").alias("_s_n"),
             F.max("_s_bucket").alias("_s_bucket"),
         )
-    )
+    ).persist()
     t_lsn = F.shiftright(F.col("_t_ord"), 1)
     t_deleted = F.col("_t_ord").bitwiseAND(F.lit(1)) == 1
     n_src_wins = F.col("_t_ord").isNull() | (F.col("_s_lsn") > t_lsn)
@@ -144,11 +157,31 @@ def _apply_mor(
     _pt = _tick("mor-lineage", _pt)
 
     if n_wins == 0:
-        # pure replay: every source row lost the LSN guard — commit nothing
-        # (a delete for an absent key counts as a win: its tombstone delta
-        # must be written so a later lower-LSN event cannot resurrect it)
+        # every source row lost the LSN guard — commit no data. (A delete
+        # for an absent key counts as a win: its tombstone delta must be
+        # written so a later lower-LSN event cannot resurrect it.) Two
+        # sub-cases (M1 observability, SURVEY.md):
+        #   * true replay (the range is already recorded applied): return
+        #     empty lineage — re-emitting late counts per replay would
+        #     double-count observability;
+        #   * genuinely all-late batch: KEEP the lineage rows (late/ooo
+        #     counts are exactly what M1 exists to surface) and record the
+        #     applied range with a metadata-only commit so range
+        #     bookkeeping stays complete.
+        per_key.unpersist()
         winners.unpersist()
-        return BatchResult(batch_id, True, None, offset_range, [], int((time.time() - t0) * 1000))
+        wall = int((time.time() - t0) * 1000)
+        if table.is_range_applied(*offset_range):
+            return BatchResult(batch_id, True, None, offset_range, [], wall)
+        version = table.commit_metadata(applied_range=offset_range, batch_id=batch_id)
+        for r in lineage_rows:
+            r["wall_ms"] = wall
+        return BatchResult(batch_id, True, version, offset_range, lineage_rows, wall)
+
+    # only keys where the source wins enter the delta (rejected rows would
+    # make the read-time fold tie nondeterministic and bloat delta chains)
+    win_keys = per_key.filter(n_src_wins).select(*key_cols)
+    delta = delta.join(win_keys, on=key_cols, how="left_semi")
 
     version = table.commit_delta(
         spark,
@@ -166,6 +199,7 @@ def _apply_mor(
         },
     )
     _pt = _tick("mor-commit", _pt)
+    per_key.unpersist()
     winners.unpersist()
 
     wall = int((time.time() - t0) * 1000)
@@ -280,9 +314,6 @@ def apply_batch(
     winners = winners.persist()
 
     if cfg.write_mode == "mor":
-        # MoR needs no touched-bucket set (deltas append, the lineage read
-        # is column-pruned): skipping the distinct+collect saves one
-        # driver-side job per batch — serial time that caps N->4N scaling
         return _apply_mor(
             spark, table, winners, cfg, batch_id, offset_range, tschema, user_cols, t0
         )
@@ -396,10 +427,19 @@ def apply_batch(
     _pt = _tick("lineage-agg", _pt)
 
     if n_wins == 0:
-        # pure replay (every source row lost the LSN guard): no commit
+        # every source row lost the LSN guard: no data commit. True replay
+        # (range already applied) -> empty lineage; genuinely all-late
+        # batch -> keep the late/ooo lineage rows and record the range via
+        # a metadata-only commit (see the MoR branch for the rationale)
         merged.unpersist()
         winners.unpersist()
-        return BatchResult(batch_id, True, None, offset_range, [], int((time.time() - t0) * 1000))
+        wall = int((time.time() - t0) * 1000)
+        if table.is_range_applied(*offset_range):
+            return BatchResult(batch_id, True, None, offset_range, [], wall)
+        version = table.commit_metadata(applied_range=offset_range, batch_id=batch_id)
+        for r in lineage_rows:
+            r["wall_ms"] = wall
+        return BatchResult(batch_id, True, version, offset_range, lineage_rows, wall)
 
     # keep only physical table columns, in schema order (flags dropped)
     final = merged.select(*[c for c in tschema.names])

@@ -137,7 +137,12 @@ def lsh_ann_topk(
     n_tables up) at linear candidate cost.
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        # no hidden driver job in the hot path: the vector length is not
+        # recoverable from ArrayType metadata, so the caller must supply it
+        raise ValueError(
+            "lsh_ann_topk requires dim= (embedding dimensionality); inferring it "
+            "would run a driver-side first() over the corpus in the hot path"
+        )
     tables = [_hyperplanes(dim, n_planes, seed + 1_000_003 * t) for t in range(n_tables)]
 
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv")).withColumn(

@@ -66,17 +66,17 @@ def purge_tombstones(spark: SparkSession, table: LakeTable, watermark_lsn: int) 
     if not buckets:
         return 0
     scoped = table.read(spark, buckets=buckets, include_tombstones=True)
-    keep = scoped.filter(
-        ~(F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col(LSN_COL) < watermark_lsn))
-    )
-    n_before = scoped.count()
-    n_after = keep.count()
+    purge_flag = F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col(LSN_COL) < watermark_lsn)
+    keep = scoped.filter(~purge_flag)
+    # one aggregate pass for the count (not two full count() jobs)
+    row = scoped.agg(F.sum(purge_flag.cast("long")).alias("n_purged")).collect()[0]
+    n_purged = int(row["n_purged"] or 0)
     table.commit(
         spark,
         keep,
         replaced_buckets=buckets,
         applied_range=None,
         batch_id=None,
-        extra_properties={"tombstone_purge": {"watermark_lsn": watermark_lsn, "purged": n_before - n_after}},
+        extra_properties={"tombstone_purge": {"watermark_lsn": watermark_lsn, "purged": n_purged}},
     )
-    return n_before - n_after
+    return n_purged

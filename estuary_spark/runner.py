@@ -135,8 +135,10 @@ def run_sync(
             run += 1
             ups += sum(r["rows_upserted"] for r in res.lineage)
             dels += sum(r["rows_deleted"] for r in res.lineage)
-            if cfg.lineage_dir:
-                append_lineage(spark, cfg.lineage_dir, res.lineage)
+        # an all-late skipped batch still carries late/ooo lineage (M1):
+        # persist it whenever the batch produced rows, committed or not
+        if cfg.lineage_dir and res.lineage:
+            append_lineage(spark, cfg.lineage_dir, res.lineage)
         if _prof:
             print(f"  [runner] batch {batch_id} apply={_t1 - _t0:.2f}s lineage={_time.time() - _t1:.2f}s", flush=True)
         applied += 0 if res.skipped else 1

@@ -69,6 +69,9 @@ def run_sync_streaming(
         stats["batches"] += 1
         if res.skipped:
             stats["skipped"] += 1
+            # all-late skipped batches still carry late/ooo lineage (M1)
+            if cfg.lineage_dir and res.lineage:
+                append_lineage(sess, cfg.lineage_dir, res.lineage)
             return
         stats["upserted"] += sum(r["rows_upserted"] for r in res.lineage)
         stats["deleted"] += sum(r["rows_deleted"] for r in res.lineage)

@@ -405,6 +405,44 @@ class LakeTable:
         )
         return version
 
+    def commit_metadata(
+        self,
+        applied_range: tuple[int, int] | None = None,
+        batch_id: int | None = None,
+        extra_properties: dict | None = None,
+    ) -> int:
+        """Metadata-only commit: record an applied LSN range / properties
+        without touching data files. Used when a batch changes no table
+        state (every source row lost the LSN guard — an all-late batch) but
+        its offset range must still enter the applied-range bookkeeping so
+        restarts and replay detection stay complete (estuary analogue: the
+        position recorder advances even when a flush writes nothing,
+        ``SourceDataPositionRecorder.scala:37-92``)."""
+        m = self.manifest()
+        version = m["version"] + 1
+        props = dict(m.get("properties", {}))
+        ranges = [list(r) for r in props.get("applied_ranges", [])]
+        if applied_range is not None:
+            ranges.append([int(applied_range[0]), int(applied_range[1])])
+        props["applied_ranges"] = _merge_ranges(ranges)
+        if batch_id is not None:
+            props["batch_ids"] = props.get("batch_ids", []) + [batch_id]
+        if extra_properties:
+            props.update(extra_properties)
+        self._write_manifest(
+            {
+                "version": version,
+                "parent": m["version"],
+                "schema": m["schema"],
+                "key_cols": m["key_cols"],
+                "n_buckets": m["n_buckets"],
+                "files": m["files"],
+                "delta_files": m.get("delta_files", {}),
+                "properties": props,
+            }
+        )
+        return version
+
     def evolve_schema(self, new_schema: T.StructType) -> int:
         """Additive schema evolution between micro-batches (metadata-only
         commit — the DDL-barrier analogue, SURVEY.md D4: schema changes

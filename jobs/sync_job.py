@@ -36,7 +36,11 @@ def main() -> None:
     ap.add_argument("--lineage", default=None)
     ap.add_argument("--checkpoint", default=None, help="JSON checkpoint (batch mode) or checkpoint dir (streaming)")
     ap.add_argument("--buckets", type=int, default=64)
-    ap.add_argument("--salt", type=int, default=8)
+    ap.add_argument("--salt", type=int, default=0,
+                    help="explicit LWW salt factor (0 = off, matching SyncConfig). Map-side "
+                         "partial aggregation already does the local pre-merge reduce; salting "
+                         "adds a second full-width shuffle per batch and only pays off for a "
+                         "pathological single-key flood")
     ap.add_argument("--events-per-batch", type=int, default=1_000_000)
     ap.add_argument("--start-lsn", type=int, default=None)
     ap.add_argument("--start-ts", default=None,

@@ -102,6 +102,83 @@ def test_mor_replay_is_noop(spark, tmpdir_path):
     assert _state(read_final_state(spark, mor)) == before
 
 
+def test_mor_all_late_batch_keeps_lineage_and_records_range(spark, tmpdir_path):
+    """A batch whose every event loses the LSN guard (genuinely late, not a
+    replay) must surface its late/ooo counts in lineage AND record its
+    offset range (metadata-only commit) — while committing no data."""
+    from estuary_spark.apply import apply_batch
+
+    cfg = SyncConfig(
+        source_log_dir=os.path.join(tmpdir_path, "log"),
+        target_table_dir=os.path.join(tmpdir_path, "t"),
+        n_buckets=2,
+        write_mode="mor",
+        compact_every=0,
+        envelope_cols=("lsn", "op"),
+    )
+    b1 = spark.createDataFrame(
+        [(10, "insert", "c1", 0, "A"), (11, "insert", "c2", 0, "B")],
+        ["lsn", "op", "conv_id", "turn_idx", "text"],
+    )
+    from estuary_spark.runner import open_or_create_table
+
+    table = open_or_create_table(spark, cfg, b1)
+    r1 = apply_batch(spark, table, b1, cfg, 0, offset_range=(10, 11))
+    assert not r1.skipped
+
+    # all-late batch: lower LSN than the applied state for the same key
+    late = spark.createDataFrame([(5, "update", "c1", 0, "X")], b1.columns)
+    r2 = apply_batch(spark, table, late, cfg, 1, offset_range=(5, 5))
+    assert r2.skipped
+    assert sum(r["late_events"] for r in r2.lineage) == 1  # M1 surfaced
+    assert table.is_range_applied(5, 5)  # range recorded (metadata commit)
+    v_after = table.current_version()
+
+    # replaying the SAME late batch is now a pure replay: empty lineage,
+    # zero new snapshots
+    r3 = apply_batch(spark, table, late, cfg, 2, offset_range=(5, 5))
+    assert r3.skipped and r3.lineage == []
+    assert table.current_version() == v_after
+
+    # table state untouched throughout
+    rows = {(r["conv_id"], r["text"]) for r in table.read(spark).collect()}
+    assert rows == {("c1", "A"), ("c2", "B")}
+
+
+def test_mor_rejected_rows_never_enter_delta(spark, tmpdir_path):
+    """Keys that lose the LSN guard must not be committed to the delta:
+    an equal-LSN conflicting payload would otherwise tie with the base row
+    in the read-time fold (nondeterministic winner) and losing rows would
+    inflate delta chains."""
+    from estuary_spark.apply import apply_batch
+    from estuary_spark.runner import open_or_create_table
+
+    cfg = SyncConfig(
+        source_log_dir=os.path.join(tmpdir_path, "log"),
+        target_table_dir=os.path.join(tmpdir_path, "t"),
+        n_buckets=2,
+        write_mode="mor",
+        compact_every=0,
+        envelope_cols=("lsn", "op"),
+    )
+    cols = ["lsn", "op", "conv_id", "turn_idx", "text"]
+    b1 = spark.createDataFrame([(10, "insert", "c1", 0, "A"), (11, "insert", "c2", 0, "B")], cols)
+    table = open_or_create_table(spark, cfg, b1)
+    apply_batch(spark, table, b1, cfg, 0, offset_range=(10, 11))
+
+    # mixed batch (unordered source → range check off): c1 loses the guard
+    # at equal LSN, c2 wins
+    b2 = spark.createDataFrame([(10, "update", "c1", 0, "REJECT"), (20, "update", "c2", 0, "C")], cols)
+    r = apply_batch(spark, table, b2, cfg, 1, offset_range=(10, 20), check_applied_range=False)
+    assert not r.skipped
+
+    unfolded = table.read_unfolded(spark).collect()
+    texts = {row["text"] for row in unfolded}
+    assert "REJECT" not in texts  # the losing row was filtered out pre-commit
+    state = {(row["conv_id"], row["text"]) for row in table.read(spark).collect()}
+    assert state == {("c1", "A"), ("c2", "C")}
+
+
 def test_mor_delete_then_reinsert_across_batches(spark, tmpdir_path):
     """Tombstone in one delta, higher-LSN re-insert in a later delta: the
     fold must resurrect the key; a LOWER-LSN late update must not."""
