@@ -125,6 +125,68 @@ def q_cdc_fold_engine_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select("conv_id", "turn_idx", "text", "_lsn")
 
 
+def q_cdc_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sync end-to-end: one log carrying three source tables,
+    regex whitelist drops db2.*, SDA rename maps db1.conv_b ->
+    conv_b_renamed, per-table LakeTables merge-applied incrementally
+    (estuary F2 filterPattern + T4 SDA rename,
+    MysqlSourceManagerImp.scala:117-120 /
+    CanalEntry2RowDataInfoMappingFormat4Sda.scala:37-44)."""
+    from estuary_spark.config import SyncConfig
+    from estuary_spark.multi import read_final_state_multi, run_sync_multi
+
+    work = tempfile.mkdtemp(prefix="estuary-gate-multi-")
+    log_dir = os.path.join(work, "log")
+    log = _derive_cdc_log(spark, sf_dir).withColumn(
+        "src_table",
+        F.when(F.pmod(F.col("lsn"), F.lit(3)) == 0, F.lit("db1.conv_a"))
+        .when(F.pmod(F.col("lsn"), F.lit(3)) == 1, F.lit("db1.conv_b"))
+        .otherwise(F.lit("db2.audit")),
+    )
+    log.repartitionByRange(4, "lsn").write.parquet(log_dir)
+    cfg = SyncConfig(
+        source_log_dir=log_dir,
+        target_table_dir=os.path.join(work, "tables"),
+        n_buckets=4,
+        envelope_cols=("lsn", "op"),
+        table_col="src_table",
+        table_filter=r"^db1\.",
+        table_renames={"db1.conv_b": "conv_b_renamed"},
+    )
+    run_sync_multi(spark, cfg, events_per_batch=2000)
+    final = read_final_state_multi(spark, cfg)
+    return final.select(
+        F.col("_dst_table").alias("dst_table"), "conv_id", "turn_idx", "text", "_lsn"
+    )
+
+
+_CDC_MULTI_ORACLE = f"""
+WITH log AS (
+    SELECT *,
+           CASE CAST(lsn % 3 AS INTEGER)
+                WHEN 0 THEN 'db1.conv_a'
+                WHEN 1 THEN 'db1.conv_b'
+                ELSE 'db2.audit' END AS src_table
+    FROM ({_CDC_ORACLE_LOG})
+),
+f AS (
+    SELECT *,
+           CASE WHEN src_table = 'db1.conv_b' THEN 'conv_b_renamed'
+                ELSE src_table END AS dst_table
+    FROM log
+    WHERE regexp_matches(src_table, '^db1\\.')
+),
+w AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY dst_table, conv_id, turn_idx ORDER BY lsn DESC
+    ) AS rn
+    FROM f
+)
+SELECT dst_table, conv_id, turn_idx, text, lsn AS _lsn
+FROM w WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def q_cdc_fold_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same fold as a single declarative plan (salted LWW operator)."""
     from estuary_spark.operators.lww import lww_reduce
@@ -438,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_fold_engine": q_cdc_fold_engine,
         "cdc_fold_engine_mor": q_cdc_fold_engine_mor,
+        "cdc_multi_table": q_cdc_multi_table,
         "cdc_fold_declarative": q_cdc_fold_declarative,
         "cdc_latest_per_user": q_cdc_latest_per_user,
         "transcript_stats": q_transcript_stats,
@@ -468,6 +531,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_fold_engine": _CDC_ORACLE_FOLD,
         "cdc_fold_engine_mor": _CDC_ORACLE_FOLD,
+        "cdc_multi_table": _CDC_MULTI_ORACLE,
         "cdc_fold_declarative": _CDC_ORACLE_FOLD,
         "transcript_stats": f"""
             WITH fold AS ({_CDC_ORACLE_FOLD})

@@ -48,6 +48,22 @@ class SyncConfig:
     # key columns of the target table (estuary: primary-key string
     # "$db@$tb@pk" — mysql/lifecycle/package.scala:121-131)
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+
+    # ---- multi-table sync (one log carrying many source tables) ----
+    # column in the log that names the source table (estuary routes every
+    # event by "$db@$tb", mysql/lifecycle/package.scala:100); None = the
+    # single-table pipeline
+    table_col: str | None = None
+    # F2: regex whitelist/blacklist over the source-table name, the
+    # analogue of estuary's filterPattern / filterBlackPattern
+    # (MysqlSourceManagerImp.scala:117-120, MysqlSourceBeanImp.scala:12-24).
+    # Whitelist applies first; blacklist then removes matches.
+    table_filter: str | None = None
+    table_blacklist: str | None = None
+    # T4: source->destination table rename map (the SDA mapping transform,
+    # CanalEntry2RowDataInfoMappingFormat4Sda.scala:37-44 /
+    # SdaSchemaMappingRule.scala:26-39). Unmapped tables keep their name.
+    table_renames: dict = field(default_factory=dict)
     # total-order column (estuary: BinlogPositionInfo journal+offset)
     lsn_col: str = "lsn"
     op_col: str = "op"

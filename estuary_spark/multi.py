@@ -1,0 +1,175 @@
+"""Multi-table sync: one change log carrying many source tables, routed to
+per-table LakeTables with regex filtering and SDA-style renaming.
+
+The reference syncs many MySQL tables per task: every binlog event is keyed
+by ``$db@$tb`` (``mysql/lifecycle/package.scala:100`` in /root/reference),
+task configs whitelist/blacklist tables by regex
+(``MysqlSourceManagerImp.scala:117-120`` — ``filterPattern`` /
+``filterBlackPattern``, SURVEY.md F2), and the SDA variant renames source
+tables to destination names
+(``CanalEntry2RowDataInfoMappingFormat4Sda.scala:37-44``, SURVEY.md T4).
+
+Spark re-expression:
+
+* the route is a narrow projection (``rlike`` filters + a literal-map
+  rename) — no shuffle, fully pushed into the scan stage;
+* each destination table is an independent ``LakeTable`` under
+  ``target_table_dir/<dst>`` with its own schema, buckets, applied-range
+  bookkeeping, and exactly-once guarantees (apply_batch is unchanged);
+* one micro-batch fans out to the tables present in it; the routed batch
+  is persisted once so the per-table applies share a single source scan.
+
+Scale notes (100 TB): the fan-out loop is per *table*, not per row — at
+T tables a batch costs T apply jobs over one cached scan; tables absent
+from a batch cost nothing. Hot tables can be given their own task (the
+reference's model) by running several configs with disjoint filters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from estuary_spark.apply import apply_batch
+from estuary_spark.checkpoint import load_checkpoint, save_checkpoint
+from estuary_spark.config import SyncConfig
+from estuary_spark.generator import read_log
+from estuary_spark.lineage import append_lineage
+from estuary_spark.runner import open_or_create_table, plan_batches
+from estuary_spark.tables import BUCKET_COL, LakeTable
+
+DST_COL = "_dst_table"
+
+
+def route_tables(df: DataFrame, cfg: SyncConfig) -> DataFrame:
+    """Apply the F2 regex whitelist/blacklist and the T4 rename map.
+
+    Returns the filtered DataFrame with a ``_dst_table`` column naming the
+    destination table. Pure narrow ops — Catalyst pushes the rlike filters
+    into the scan.
+    """
+    if not cfg.table_col:
+        raise ValueError("route_tables requires cfg.table_col (multi-table mode)")
+    c = F.col(cfg.table_col)
+    if cfg.table_filter:
+        df = df.filter(c.rlike(cfg.table_filter))
+    if cfg.table_blacklist:
+        df = df.filter(~c.rlike(cfg.table_blacklist))
+    if cfg.table_renames:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in sorted(cfg.table_renames.items()) for x in kv]
+        )
+        # try_element_at: NULL (not an ANSI error) for unmapped tables
+        dst = F.coalesce(F.try_element_at(mapping, c), c)
+    else:
+        dst = c
+    return df.withColumn(DST_COL, dst)
+
+
+def _sub_cfg(cfg: SyncConfig, dst: str) -> SyncConfig:
+    """Per-destination-table view of the task config: the source-table and
+    routing columns join the envelope so they never enter the target
+    schema; checkpointing stays global (the multi runner owns it)."""
+    from dataclasses import replace
+
+    return replace(
+        cfg,
+        target_table_dir=os.path.join(cfg.target_table_dir, dst),
+        lineage_dir=os.path.join(cfg.lineage_dir, dst) if cfg.lineage_dir else None,
+        checkpoint_path=None,
+        envelope_cols=tuple(dict.fromkeys([*cfg.envelope_cols, cfg.table_col, DST_COL])),
+        table_col=None,
+        table_filter=None,
+        table_blacklist=None,
+        table_renames={},
+    )
+
+
+def run_sync_multi(
+    spark: SparkSession,
+    cfg: SyncConfig,
+    events_per_batch: int = 50_000,
+    max_batches: int | None = None,
+) -> dict:
+    """Run a multi-table sync task to the end of the log.
+
+    Batches are planned globally over the (filtered) log's LSN space, so
+    one batch = one contiguous offset range across all tables — the
+    reference's transaction-boundary dispatch per task. Within a batch the
+    routed events fan out to each destination table's own atomic
+    merge-apply; per-table applied-range bookkeeping keeps replay
+    exactly-once per table.
+
+    Returns {"tables": {dst: {"batches_run": n, "rows_upserted": n,
+    "rows_deleted": n}}, "batches": n, "last_lsn": lsn}.
+    """
+    log_df = route_tables(read_log(spark, cfg.source_log_dir), cfg)
+
+    st = load_checkpoint(cfg.checkpoint_path) if cfg.checkpoint_path else None
+    start = int(st["next_lsn"]) if st else (cfg.start_lsn or 0)
+    batch_id = int(st["next_batch_id"]) if st else 0
+
+    ranges = plan_batches(log_df, start, cfg.stop_at_lsn, events_per_batch, cfg.lsn_col)
+    if max_batches is not None:
+        ranges = ranges[:max_batches]
+
+    per_table: dict[str, dict] = {}
+    tables: dict[str, LakeTable] = {}
+    last_lsn = None
+    n_batches = 0
+
+    for lo, hi in ranges:
+        batch = log_df.filter(F.col(cfg.lsn_col).between(lo, hi)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        # the destinations present in this batch: driver result is
+        # O(#tables), and this action materializes the batch cache the
+        # per-table applies below reuse
+        dsts = sorted(r[0] for r in batch.select(DST_COL).distinct().collect())
+        for dst in dsts:
+            scfg = _sub_cfg(cfg, dst)
+            sub = batch.filter(F.col(DST_COL) == dst).drop(DST_COL, cfg.table_col)
+            if dst not in tables:
+                tables[dst] = open_or_create_table(spark, scfg, sub)
+            res = apply_batch(
+                spark, tables[dst], sub, scfg, batch_id, offset_range=(lo, hi)
+            )
+            stats = per_table.setdefault(
+                dst, {"batches_run": 0, "rows_upserted": 0, "rows_deleted": 0}
+            )
+            if not res.skipped:
+                stats["batches_run"] += 1
+                stats["rows_upserted"] += sum(r["rows_upserted"] for r in res.lineage)
+                stats["rows_deleted"] += sum(r["rows_deleted"] for r in res.lineage)
+            if scfg.lineage_dir and res.lineage:
+                append_lineage(spark, scfg.lineage_dir, res.lineage)
+        batch.unpersist()
+        last_lsn = hi
+        batch_id += 1
+        n_batches += 1
+        if cfg.checkpoint_path:
+            save_checkpoint(
+                cfg.checkpoint_path, {"next_lsn": hi + 1, "next_batch_id": batch_id}
+            )
+
+    return {"tables": per_table, "batches": n_batches, "last_lsn": last_lsn}
+
+
+def read_final_state_multi(spark: SparkSession, cfg: SyncConfig) -> DataFrame:
+    """Union of every destination table's final state, tagged with
+    ``_dst_table`` (columns are unioned by name; tables missing a column
+    read it as NULL)."""
+    root = cfg.target_table_dir
+    dsts = sorted(
+        d
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+        if LakeTable(os.path.join(root, d)).exists()
+    )
+    out = None
+    for dst in dsts:
+        t = LakeTable(os.path.join(root, dst))
+        df = t.read(spark).drop(BUCKET_COL).withColumn(DST_COL, F.lit(dst))
+        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    return out

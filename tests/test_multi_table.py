@@ -1,0 +1,112 @@
+"""Multi-table sync: regex white/blacklist (F2), SDA rename (T4), per-table
+routing + exactly-once replay.
+
+Reference semantics: every event routes by its source table name
+(mysql/lifecycle/package.scala:100), task configs filter tables by regex
+(MysqlSourceManagerImp.scala:117-120), and the SDA mapping renames source
+tables to destination names
+(CanalEntry2RowDataInfoMappingFormat4Sda.scala:37-44) — all in
+/root/reference."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from estuary_spark.config import SyncConfig
+from estuary_spark.multi import read_final_state_multi, route_tables, run_sync_multi
+from estuary_spark.tables import LakeTable
+
+COLS = ["lsn", "op", "src_table", "conv_id", "turn_idx", "text"]
+
+ROWS = [
+    (1, "insert", "db1.conv_a", "c1", 0, "a-v1"),
+    (2, "insert", "db1.conv_b", "c1", 0, "b-v1"),
+    (3, "insert", "db2.audit", "c1", 0, "audit-v1"),
+    (4, "update", "db1.conv_a", "c1", 0, "a-v2"),
+    (5, "insert", "db1.conv_a", "c2", 1, "a2-v1"),
+    (6, "delete", "db1.conv_b", "c1", 0, None),
+    (7, "insert", "db1.conv_b", "c9", 3, "b9-v1"),
+    (8, "update", "db2.audit", "c1", 0, "audit-v2"),
+]
+
+
+def _mk_cfg(tmpdir_path, **kw):
+    return SyncConfig(
+        source_log_dir=os.path.join(tmpdir_path, "log"),
+        target_table_dir=os.path.join(tmpdir_path, "tables"),
+        checkpoint_path=os.path.join(tmpdir_path, "ckpt.json"),
+        n_buckets=2,
+        envelope_cols=("lsn", "op"),
+        table_col="src_table",
+        **kw,
+    )
+
+
+def _write_log(spark, tmpdir_path):
+    df = spark.createDataFrame(ROWS, COLS)
+    df.repartitionByRange(2, "lsn").write.mode("overwrite").parquet(
+        os.path.join(tmpdir_path, "log")
+    )
+
+
+def test_route_filter_rename(spark, tmpdir_path):
+    cfg = _mk_cfg(
+        tmpdir_path,
+        table_filter=r"^db1\.",
+        table_renames={"db1.conv_b": "conv_b_renamed"},
+    )
+    routed = route_tables(spark.createDataFrame(ROWS, COLS), cfg)
+    got = {(r["src_table"], r["_dst_table"]) for r in routed.collect()}
+    assert got == {
+        ("db1.conv_a", "db1.conv_a"),
+        ("db1.conv_b", "conv_b_renamed"),
+    }  # db2.* filtered out, conv_b renamed, conv_a passthrough
+
+
+def test_multi_table_sync_and_replay(spark, tmpdir_path):
+    _write_log(spark, tmpdir_path)
+    cfg = _mk_cfg(
+        tmpdir_path,
+        table_filter=r"^db1\.",
+        table_renames={"db1.conv_b": "conv_b_renamed"},
+    )
+    s1 = run_sync_multi(spark, cfg, events_per_batch=3)
+    assert set(s1["tables"]) == {"db1.conv_a", "conv_b_renamed"}
+
+    root = cfg.target_table_dir
+    assert LakeTable(os.path.join(root, "db1.conv_a")).exists()
+    assert LakeTable(os.path.join(root, "conv_b_renamed")).exists()
+    assert not os.path.exists(os.path.join(root, "db2.audit"))
+
+    final = read_final_state_multi(spark, cfg)
+    state = {
+        (r["_dst_table"], r["conv_id"], r["turn_idx"], r["text"]) for r in final.collect()
+    }
+    assert state == {
+        ("db1.conv_a", "c1", 0, "a-v2"),   # LWW: v2 wins
+        ("db1.conv_a", "c2", 1, "a2-v1"),
+        ("conv_b_renamed", "c9", 3, "b9-v1"),  # (c1,0) tombstoned at lsn 6
+    }
+
+    # full replay from the same checkpointless start: applied ranges +
+    # wins==0 make it a no-op per table
+    cfg2 = _mk_cfg(
+        tmpdir_path,
+        table_filter=r"^db1\.",
+        table_renames={"db1.conv_b": "conv_b_renamed"},
+    )
+    os.remove(cfg2.checkpoint_path)
+    s2 = run_sync_multi(spark, cfg2, events_per_batch=3)
+    assert all(t["batches_run"] == 0 for t in s2["tables"].values())
+    assert {
+        (r["_dst_table"], r["conv_id"], r["turn_idx"], r["text"])
+        for r in read_final_state_multi(spark, cfg2).collect()
+    } == state
+
+
+def test_multi_table_blacklist(spark, tmpdir_path):
+    _write_log(spark, tmpdir_path)
+    cfg = _mk_cfg(tmpdir_path, table_blacklist=r"\.audit$")
+    s = run_sync_multi(spark, cfg, events_per_batch=100)
+    assert set(s["tables"]) == {"db1.conv_a", "db1.conv_b"}
+    assert not os.path.exists(os.path.join(cfg.target_table_dir, "db2.audit"))
