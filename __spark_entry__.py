@@ -393,19 +393,14 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3gram Jaccard over all doc pairs with sim >= 0.2."""
-    from estuary_spark.functions.dedup import jaccard, word_ngrams
+    """Exact word-3gram Jaccard >= 0.2, verified WITHIN deterministic
+    poly-minhash candidates (banded equi-join, no all-pairs cross join —
+    the r1-verdict scale fix; the oracle reproduces the identical
+    candidate generation from the same hash-family constants)."""
+    from estuary_spark.functions.dedup import minhash_poly_pairs
 
     docs = _docs(spark, sf_dir)
-    g = docs.select(F.col("doc_id"), word_ngrams(F.col("text"), 3).alias("_g"))
-    a = g.select(F.col("doc_id").alias("id_a"), F.col("_g").alias("_ga"))
-    b = g.select(F.col("doc_id").alias("id_b"), F.col("_g").alias("_gb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("_jraw", jaccard(F.col("_ga"), F.col("_gb")))
-        .filter(F.col("_jraw") >= 0.2)
-        .select("id_a", "id_b", F.round("_jraw", 6).alias("jac"))
-    )
+    return minhash_poly_pairs(docs, threshold=0.2, num_hashes=16, ngram_n=3, seed=7)
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,12 +438,16 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH blocked near-dup pairs (4 tables x 2^6
+    buckets = 256 effective blocks; exact cosine verify within blocks).
+    Low threshold fits the random test embeddings; production near-dup
+    uses ~0.95 with the same machinery."""
     from estuary_spark.functions.dedup import embedding_near_dup_pairs
 
     emb = _load(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    out = embedding_near_dup_pairs(emb, threshold=0.2)
+    out = embedding_near_dup_pairs(emb, threshold=0.2, n_planes=6, n_tables=4, dim=64)
     return out.select("id_a", "id_b", F.round("cos", 3).alias("cos_r"))
 
 
@@ -740,41 +739,108 @@ SELECT doc_id,
 FROM n
 """
 
-_NGRAM_JACCARD_ORACLE = """
-WITH g AS (
+def _ngram_jaccard_oracle(threshold: float = 0.2, num_hashes: int = 16, seed: int = 7) -> str:
+    """DuckDB reproduction of minhash_poly_pairs: the same word-3gram
+    sets, the same Rabin-Karp gram hashes, the same (a_i, b_i) family
+    constants baked in as literals, the same any-minhash-collides candidate
+    rule, the same exact-Jaccard verification."""
+    from estuary_spark.functions.dedup import _POLY_BASE, _POLY_PRIME, poly_hash_family
+
+    fam = poly_hash_family(num_hashes, seed)
+    sig_cols = ",\n           ".join(
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {_POLY_PRIME})) AS m{i}"
+        for i, (a, b) in enumerate(fam)
+    )
+    collide = " OR ".join(f"a.m{i} = b.m{i}" for i in range(num_hashes))
+    return f"""
+WITH t AS (
+    SELECT doc_id, regexp_extract_all(LOWER(text), '[A-Za-z0-9]+') AS toks
+    FROM documents
+), g AS (
     SELECT doc_id,
            list_distinct(
                list_transform(
-                   range(0, greatest(len(regexp_extract_all(LOWER(text), '[A-Za-z0-9]+')) - 3, 0) + 1),
-                   i -> array_to_string(
-                       list_slice(regexp_extract_all(LOWER(text), '[A-Za-z0-9]+'), i + 1, i + 3),
-                       ' ')
+                   range(0, greatest(len(toks) - 3, 0) + 1),
+                   i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')
                )
            ) AS grams
-    FROM documents
+    FROM t
+), h AS (
+    SELECT doc_id, grams,
+           list_transform(grams, gr -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split_regex(gr, ''), c -> ascii(c))),
+               (acc, c) -> (acc * {_POLY_BASE} + c) % {_POLY_PRIME}
+           )) AS hs
+    FROM g
+), sig AS (
+    SELECT doc_id, grams,
+           {sig_cols}
+    FROM h
+), cand AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
+    FROM sig a, sig b
+    WHERE a.doc_id < b.doc_id AND ({collide})
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       ROUND(len(list_intersect(a.grams, b.grams)) * 1.0 /
-             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jac
-FROM g a, g b
-WHERE a.doc_id < b.doc_id
-  AND len(list_intersect(a.grams, b.grams)) * 1.0 /
-      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.2
+SELECT id_a, id_b, ROUND(jac, 6) AS jac
+FROM (
+    SELECT id_a, id_b,
+           len(list_intersect(ga, gb)) * 1.0 /
+           (len(ga) + len(gb) - len(list_intersect(ga, gb))) AS jac
+    FROM cand
+) WHERE jac >= {threshold}
 """
 
-_EMB_NEAR_DUP_ORACLE = """
+
+_NGRAM_JACCARD_ORACLE = _ngram_jaccard_oracle()
+
+def _emb_near_dup_oracle(
+    threshold: float = 0.2, n_planes: int = 6, n_tables: int = 4, dim: int = 64, seed: int = 42
+) -> str:
+    """DuckDB reproduction of the multi-table hyperplane-LSH blocking: the
+    SAME plane constants (baked in as literals) and — critically — the SAME
+    left-fold floating-point summation order for the sign-determining dot
+    products (list_reduce over in-order products == Spark's
+    aggregate(zip_with(*), 0.0, +)), so bucket assignment is bit-identical.
+    The final cosine is rounded to 3 decimals, so list_cosine_similarity's
+    summation order is immaterial there."""
+    from estuary_spark.functions.similarity import _hyperplanes
+
+    tables = [_hyperplanes(dim, n_planes, seed + 1_000_003 * t) for t in range(n_tables)]
+
+    def dot_sql(plane: list[float]) -> str:
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {dim + 1}), i -> emb[i] * ({lit})[i])), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    bucket_exprs = []
+    for t, tbl in enumerate(tables):
+        bits = " + ".join(
+            f"(CASE WHEN {dot_sql(plane)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(tbl)
+        )
+        bucket_exprs.append(f"{t * (1 << n_planes)} + {bits}")
+    buckets = ", ".join(bucket_exprs)
+    return f"""
 WITH base AS (
-    SELECT vec_id,
-           embedding,
-           (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
-            CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
-            CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
-            CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS blk
-    FROM embeddings
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), bucketed AS (
+    SELECT vec_id, emb, UNNEST([{buckets}]) AS bkt FROM base
+), cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bucketed a, bucketed b
+    WHERE a.bkt = b.bkt AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 3) AS cos_r
-FROM base a, base b
-WHERE a.blk = b.blk AND a.vec_id < b.vec_id
-  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.2
+SELECT id_a, id_b,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 3) AS cos_r
+FROM cand
+JOIN base a ON a.vec_id = cand.id_a
+JOIN base b ON b.vec_id = cand.id_b
+WHERE list_cosine_similarity(a.emb, b.emb) >= {threshold}
 """
+
+
+_EMB_NEAR_DUP_ORACLE = _emb_near_dup_oracle()

@@ -48,6 +48,46 @@ def test_minhash_signature_members_differ(spark):
     assert len(set(row["sig"])) > 1
 
 
+def test_minhash_poly_pairs(docs):
+    """Oracle-checkable poly-hash minhash: candidates via banded equi-join
+    (no cross join in the plan), exact Jaccard verify, deterministic."""
+    from estuary_spark.functions.dedup import minhash_poly_pairs
+
+    out = minhash_poly_pairs(docs, threshold=0.2, num_hashes=16, seed=7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    pairs = {(r["id_a"], r["id_b"]): r["jac"] for r in out.collect()}
+    assert pairs[(0, 1)] == 1.0            # exact dup
+    assert (0, 2) in pairs                 # near dup caught by some band
+    assert not any(4 in p for p in pairs)  # unrelated doc excluded
+    # determinism: second run bit-identical
+    assert {(r["id_a"], r["id_b"]): r["jac"] for r in
+            minhash_poly_pairs(docs, threshold=0.2, num_hashes=16, seed=7).collect()} == pairs
+
+
+def test_embedding_near_dup_lsh_blocking(spark):
+    """Parameterized multi-table hyperplane blocking: near-identical
+    vectors pair up; requires dim; effective block count is
+    n_tables * 2^n_planes."""
+    import numpy as np
+
+    from estuary_spark.functions.dedup import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(20, 16)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    rows.append((100, [float(x) for x in base[0] + 0.001 * rng.randn(16)]))  # near-dup of 0
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    out = embedding_near_dup_pairs(
+        df, threshold=0.99, n_planes=4, n_tables=4, dim=16
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 100)}
+
+    with pytest.raises(ValueError):
+        embedding_near_dup_pairs(df, threshold=0.9)  # dim is required
+
+
 def test_simhash_hamming(docs):
     from estuary_spark.functions.dedup import hamming64, simhash64
 
