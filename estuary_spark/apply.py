@@ -208,6 +208,23 @@ def _apply_mor(
     return BatchResult(batch_id, False, version, offset_range, lineage_rows, wall)
 
 
+class SchemaTypeChangeError(ValueError):
+    """A batch carries a column whose type differs from the table's — a
+    non-additive schema change (estuary's modify-column path,
+    ``MysqlTableSchemaHolder.scala:61-78``). Raised at the batch-start
+    DDL barrier so the operator sees WHICH columns changed instead of an
+    opaque parquet read error; set ``SyncConfig.on_type_change="cast"``
+    to coerce batch values to the table types instead."""
+
+    def __init__(self, changes: list[tuple[str, str, str]]):
+        self.changes = changes
+        detail = ", ".join(f"{c}: table={tt} batch={bt}" for c, tt, bt in changes)
+        super().__init__(
+            f"non-additive schema change (type changed) for column(s): {detail}; "
+            "set on_type_change='cast' to coerce batch values to the table types"
+        )
+
+
 @dataclass
 class BatchResult:
     batch_id: int
@@ -232,6 +249,17 @@ def reconcile_schema(table: LakeTable, batch_df: DataFrame, cfg: SyncConfig) -> 
         for f in batch_df.schema.fields
         if f.name not in cfg.envelope_cols and f.name not in (BUCKET_COL, LSN_COL, DELETED_COL)
     ]
+    # non-additive guard: same-name column with a DIFFERENT type is a
+    # modify-column DDL, which additive evolution cannot express — fail
+    # with a typed error (or cast, per config) instead of letting the
+    # mismatch surface later as an opaque parquet read error
+    changed = [
+        (f.name, tschema[f.name].dataType.simpleString(), f.dataType.simpleString())
+        for f in batch_value_fields
+        if f.name in tschema.names and f.dataType != tschema[f.name].dataType
+    ]
+    if changed and cfg.on_type_change == "fail":
+        raise SchemaTypeChangeError(changed)
     new_fields = [f for f in batch_value_fields if f.name not in tschema.names]
     if new_fields:
         if not cfg.allow_schema_evolution:
@@ -294,7 +322,12 @@ def apply_batch(
     proj = []
     for c in user_cols:
         if c in batch_df.columns:
-            proj.append(F.col(c))
+            if batch_df.schema[c].dataType != tschema[c].dataType:
+                # only reachable with on_type_change="cast" (reconcile
+                # raised otherwise): coerce to the table's type
+                proj.append(F.col(c).cast(tschema[c].dataType).alias(c))
+            else:
+                proj.append(F.col(c))
         else:
             proj.append(F.lit(None).cast(tschema[c].dataType).alias(c))
     changes = batch_df.select(F.col(cfg.lsn_col).alias("lsn"), F.col(cfg.op_col).alias("op"), *proj)

@@ -40,6 +40,41 @@ def load_checkpoint(path: str) -> dict | None:
         return json.load(fh)
 
 
+def resolve_stop_lsn(
+    cfg_stop: int | None,
+    stop_ts: str | None,
+    log_df=None,
+    ts_col: str = "ts",
+    lsn_col: str = "lsn",
+) -> int | None:
+    """Stop-position resolution (estuary C6: the snapshot task targets a
+    timestamp and the state machine stops the stream at the corresponding
+    binlog position, ``SnapshotStateMachine.scala:62-228``). An explicit
+    stop LSN wins; otherwise a stop timestamp resolves to the highest LSN
+    whose event time is <= the timestamp (one column-pruned max-aggregate,
+    predicate pushed to the scan) — the timestamp->position mapping, after
+    which the bound is positional exactly like the reference. Returns None
+    when unbounded; -1 when the timestamp precedes the whole log (apply
+    nothing)."""
+    if cfg_stop is not None:
+        return int(cfg_stop)
+    if stop_ts is None:
+        return None
+    if log_df is None:
+        raise ValueError("stop_ts resolution needs the log DataFrame")
+    from pyspark.sql import functions as F
+
+    try:
+        row = log_df.agg(
+            F.max(
+                F.when(F.col(ts_col) <= F.to_timestamp(F.lit(stop_ts)), F.col(lsn_col))
+            ).alias("hi")
+        ).collect()[0]
+    except Exception as e:  # unparseable timestamp surfaces as a JVM error
+        raise ValueError(f"invalid stop_ts {stop_ts!r}: {e}") from None
+    return int(row["hi"]) if row["hi"] is not None else -1
+
+
 def resolve_start_lsn(
     cfg_start: int | None,
     checkpoint_path: str | None,

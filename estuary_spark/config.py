@@ -111,9 +111,20 @@ class SyncConfig:
     # start_lsn or a checkpoint is present.
     start_ts: str | None = None
     stop_at_lsn: int | None = None
+    # bounded catch-up by event time (estuary C6 snapshot-at-timestamp,
+    # SnapshotStateMachine.scala:62-228): resolved once to the highest LSN
+    # whose ts <= stop_at_ts, then applied as a positional bound. Ignored
+    # when stop_at_lsn is set.
+    stop_at_ts: str | None = None
 
     # schema evolution: allow additive column adds at batch start
     allow_schema_evolution: bool = True
+    # non-additive change policy: a batch column whose TYPE differs from
+    # the table's (estuary's holder handles modify-column,
+    # MysqlTableSchemaHolder.scala:61-78) either fails with a typed error
+    # ("fail", the default — surfacing the change instead of an opaque
+    # parquet read error) or is cast to the table's type ("cast")
+    on_type_change: str = "fail"
 
     # per-event transform chain applied to each batch before the LWW
     # reduce (estuary MappingFormat/T1-T4 analogue): names registered in
@@ -130,6 +141,8 @@ class SyncConfig:
     def __post_init__(self) -> None:
         if self.write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be 'cow' or 'mor', got {self.write_mode!r}")
+        if self.on_type_change not in ("fail", "cast"):
+            raise ValueError(f"on_type_change must be 'fail' or 'cast', got {self.on_type_change!r}")
         if self.partition_strategy not in (
             PARTITION_MOD,
             PARTITION_PRIMARY_KEY,

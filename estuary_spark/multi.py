@@ -33,7 +33,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from estuary_spark.apply import apply_batch
-from estuary_spark.checkpoint import load_checkpoint, save_checkpoint
+from estuary_spark.checkpoint import load_checkpoint, resolve_stop_lsn, save_checkpoint
 from estuary_spark.config import SyncConfig
 from estuary_spark.generator import read_log
 from estuary_spark.lineage import append_lineage
@@ -111,7 +111,8 @@ def run_sync_multi(
     start = int(st["next_lsn"]) if st else (cfg.start_lsn or 0)
     batch_id = int(st["next_batch_id"]) if st else 0
 
-    ranges = plan_batches(log_df, start, cfg.stop_at_lsn, events_per_batch, cfg.lsn_col)
+    stop = resolve_stop_lsn(cfg.stop_at_lsn, cfg.stop_at_ts, log_df, lsn_col=cfg.lsn_col)
+    ranges = plan_batches(log_df, start, stop, events_per_batch, cfg.lsn_col)
     if max_batches is not None:
         ranges = ranges[:max_batches]
 

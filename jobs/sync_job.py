@@ -46,6 +46,12 @@ def main() -> None:
     ap.add_argument("--start-ts", default=None,
                     help="start from event time, e.g. '2024-01-02 00:00:00' (C2 timestamp resolution)")
     ap.add_argument("--stop-at-lsn", type=int, default=None, help="bounded catch-up run (snapshot-at-offset, C6 analogue)")
+    ap.add_argument("--stop-at-ts", default=None,
+                    help="bounded catch-up by event time, e.g. '2024-01-05 00:00:00' "
+                         "(snapshot-at-timestamp, resolved once to an LSN bound)")
+    ap.add_argument("--on-type-change", default="fail", choices=["fail", "cast"],
+                    help="non-additive schema change policy: fail with a typed error (default) "
+                         "or cast batch values to the table's column types")
     ap.add_argument("--partition-strategy", default="primary_key",
                     choices=["mod", "primary_key", "table", "transaction"])
     ap.add_argument("--write-mode", default="cow", choices=["cow", "mor"],
@@ -78,6 +84,8 @@ def main() -> None:
         start_lsn=args.start_lsn,
         start_ts=args.start_ts,
         stop_at_lsn=args.stop_at_lsn,
+        stop_at_ts=args.stop_at_ts,
+        on_type_change=args.on_type_change,
         partition_strategy=args.partition_strategy,
         allow_schema_evolution=not args.no_schema_evolution,
         write_mode=args.write_mode,

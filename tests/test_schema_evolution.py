@@ -62,6 +62,40 @@ def test_evolution_is_metadata_only_commit(spark, tmpdir_path):
     assert "extra" in [f["name"] for f in m1["schema"]["fields"]]
 
 
+def test_type_change_raises_typed_error(spark, tmpdir_path):
+    """Non-additive change (column type modified) must surface a typed
+    error at the DDL barrier, not an opaque parquet read failure
+    (MysqlTableSchemaHolder.scala:61-78 analogue)."""
+    import pytest
+
+    from estuary_spark.apply import SchemaTypeChangeError, apply_batch
+    from estuary_spark.runner import open_or_create_table
+
+    cols = ["lsn", "op", "conv_id", "turn_idx", "text"]
+    cfg = SyncConfig(
+        source_log_dir=os.path.join(tmpdir_path, "log"),
+        target_table_dir=os.path.join(tmpdir_path, "t"),
+        n_buckets=2,
+        envelope_cols=("lsn", "op"),
+    )
+    b1 = spark.createDataFrame([(1, "insert", "c1", 0, "hello")], cols)
+    table = open_or_create_table(spark, cfg, b1)
+    apply_batch(spark, table, b1, cfg, 0, offset_range=(1, 1))
+
+    # text arrives as BIGINT now — a modify-column DDL
+    b2 = spark.createDataFrame([(2, "update", "c1", 0, 12345)], cols)
+    with pytest.raises(SchemaTypeChangeError, match="text: table=string batch=bigint"):
+        apply_batch(spark, table, b2, cfg, 1, offset_range=(2, 2))
+
+    # on_type_change="cast" coerces instead
+    from dataclasses import replace
+
+    r = apply_batch(spark, table, b2, replace(cfg, on_type_change="cast"), 1, offset_range=(2, 2))
+    assert not r.skipped
+    rows = {(x["conv_id"], x["text"]) for x in table.read(spark).collect()}
+    assert rows == {("c1", "12345")}
+
+
 def test_evolution_disabled_raises(spark, tmpdir_path):
     import pytest
 
