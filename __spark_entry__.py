@@ -187,6 +187,33 @@ FROM w WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def q_cdc_fold_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Structured Streaming front-end end-to-end: readStream over the
+    log files (modification-time order, NOT LSN order), foreachBatch
+    merge-apply, exactly-once via wins==0 no-op detection — must converge
+    to the same fold oracle as the batch engine."""
+    from estuary_spark.config import SyncConfig
+    from estuary_spark.runner import read_final_state
+    from estuary_spark.streaming import run_sync_streaming
+
+    work = tempfile.mkdtemp(prefix="estuary-gate-stream-")
+    log_dir = os.path.join(work, "log")
+    _derive_cdc_log(spark, sf_dir).repartitionByRange(4, "lsn").write.parquet(log_dir)
+    cfg = SyncConfig(
+        source_log_dir=log_dir,
+        target_table_dir=os.path.join(work, "table"),
+        n_buckets=8,
+        envelope_cols=("lsn", "op"),
+        write_mode="mor",
+        compact_every=4,
+    )
+    run_sync_streaming(
+        spark, cfg, os.path.join(work, "ckpt"), max_files_per_trigger=2, available_now=True
+    )
+    final = read_final_state(spark, cfg)
+    return final.select("conv_id", "turn_idx", "text", "_lsn")
+
+
 def q_cdc_fold_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same fold as a single declarative plan (salted LWW operator)."""
     from estuary_spark.operators.lww import lww_reduce
@@ -500,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_fold_engine": q_cdc_fold_engine,
         "cdc_fold_engine_mor": q_cdc_fold_engine_mor,
         "cdc_multi_table": q_cdc_multi_table,
+        "cdc_fold_streaming": q_cdc_fold_streaming,
         "cdc_fold_declarative": q_cdc_fold_declarative,
         "cdc_latest_per_user": q_cdc_latest_per_user,
         "transcript_stats": q_transcript_stats,
@@ -531,6 +559,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_fold_engine": _CDC_ORACLE_FOLD,
         "cdc_fold_engine_mor": _CDC_ORACLE_FOLD,
         "cdc_multi_table": _CDC_MULTI_ORACLE,
+        "cdc_fold_streaming": _CDC_ORACLE_FOLD,
         "cdc_fold_declarative": _CDC_ORACLE_FOLD,
         "transcript_stats": f"""
             WITH fold AS ({_CDC_ORACLE_FOLD})

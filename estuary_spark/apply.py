@@ -62,27 +62,36 @@ def _apply_mor(
     Per-batch cost is O(batch + touched buckets) — no target-wide join, no
     bucket rewrite (the Iceberg ``write.merge.mode=merge-on-read`` analogue;
     readers fold, ``maintenance.compact`` amortizes). Lineage still compares
-    against the current table state, but through a BUCKET-PRUNED (only the
-    batch's touched buckets are scanned — file-level pruning via the
-    manifest) and COLUMN-PRUNED (key, _lsn, _deleted only) read, so the
-    target side of the lineage join is O(touched buckets), not O(table).
-    Three driver actions per batch: the touched-bucket distinct (which also
-    materializes the winners cache), the lineage aggregate, and the delta
-    write. Only keys the source actually WINS are committed to the delta:
-    a rejected equal/lower-LSN row must never enter the fold (its tie with
-    the base row would be nondeterministic) and would only inflate delta
-    chains with rows that cannot win.
+    against the current table state through a COLUMN-PRUNED (key, _lsn,
+    _deleted only) read that is additionally BUCKET-PRUNED to the batch's
+    touched buckets when the table is bucketed finely enough for pruning to
+    matter (``mor_prune_buckets``, auto at >= 256 buckets: a 10^10-row
+    deployment runs thousands of buckets and a batch touches few, so the
+    target scan is O(touched buckets) not O(table); at bench-scale bucket
+    counts every batch touches every bucket and the extra touched-distinct
+    driver job per batch is pure serial overhead that caps N->4N scaling).
+    Two driver actions per batch (three when pruning): the lineage
+    aggregate (which materializes the winners cache) and the delta write.
+    Rejected rows: a strictly-lower-LSN loser is committed but loses every
+    read-time fold deterministically (compaction sweeps it); an EQUAL-LSN
+    loser (nondeterministic fold tie with the base row) is filtered out
+    via a broadcast anti-join paid only when such a tie exists — which
+    normal operation never produces (pure replays take the wins==0 path).
     """
     key_cols = list(cfg.key_cols)
     _pt = time.time()
 
-    # touched buckets (driver result is O(buckets)); this first action also
-    # materializes the winners persist, so the two later consumers reuse it
-    touched = [int(r[BUCKET_COL]) for r in winners.select(BUCKET_COL).distinct().collect()]
-    _pt = _tick("mor-touched", _pt)
-    if not touched:
-        winners.unpersist()
-        return BatchResult(batch_id, True, None, offset_range, [], int((time.time() - t0) * 1000))
+    n_buckets = int(table.manifest()["n_buckets"])
+    prune = cfg.mor_prune_buckets if cfg.mor_prune_buckets is not None else n_buckets >= 256
+    touched: list[int] | None = None
+    if prune:
+        # touched buckets (driver result is O(buckets)); this action also
+        # materializes the winners persist for the two later consumers
+        touched = [int(r[BUCKET_COL]) for r in winners.select(BUCKET_COL).distinct().collect()]
+        _pt = _tick("mor-touched", _pt)
+        if not touched:
+            winners.unpersist()
+            return BatchResult(batch_id, True, None, offset_range, [], int((time.time() - t0) * 1000))
 
     delta = winners.select(
         *[F.col(c) if c in winners.columns else F.lit(None).cast(tschema[c].dataType).alias(c) for c in user_cols],
@@ -117,7 +126,7 @@ def _apply_mor(
             F.max("_s_n").alias("_s_n"),
             F.max("_s_bucket").alias("_s_bucket"),
         )
-    ).persist()
+    )
     t_lsn = F.shiftright(F.col("_t_ord"), 1)
     t_deleted = F.col("_t_ord").bitwiseAND(F.lit(1)) == 1
     n_src_wins = F.col("_t_ord").isNull() | (F.col("_s_lsn") > t_lsn)
@@ -137,10 +146,14 @@ def _apply_mor(
             F.sum(F.when(F.col("_t_ord").isNotNull() & ~n_src_wins, 1).otherwise(0)).alias("late"),
             F.sum(F.col("_s_n") - 1).alias("ooo"),
             F.sum(F.when(n_src_wins, 1).otherwise(0)).alias("wins"),
+            F.count(F.lit(1)).alias("nk"),
+            F.sum(F.when(F.col("_s_lsn") == t_lsn, 1).otherwise(0)).alias("ties"),
         )
         .collect()
     )
     n_wins = sum(int(r["wins"] or 0) for r in agg_rows)
+    n_keys = sum(int(r["nk"] or 0) for r in agg_rows)
+    n_ties = sum(int(r["ties"] or 0) for r in agg_rows)
     lineage_rows = [
         {
             "batch_id": batch_id,
@@ -156,6 +169,11 @@ def _apply_mor(
     ]
     _pt = _tick("mor-lineage", _pt)
 
+    if n_keys == 0:
+        # empty batch (nothing survived the event-type filter)
+        winners.unpersist()
+        return BatchResult(batch_id, True, None, offset_range, [], int((time.time() - t0) * 1000))
+
     if n_wins == 0:
         # every source row lost the LSN guard — commit no data. (A delete
         # for an absent key counts as a win: its tombstone delta must be
@@ -168,7 +186,6 @@ def _apply_mor(
         #     counts are exactly what M1 exists to surface) and record the
         #     applied range with a metadata-only commit so range
         #     bookkeeping stays complete.
-        per_key.unpersist()
         winners.unpersist()
         wall = int((time.time() - t0) * 1000)
         if table.is_range_applied(*offset_range):
@@ -178,10 +195,19 @@ def _apply_mor(
             r["wall_ms"] = wall
         return BatchResult(batch_id, True, version, offset_range, lineage_rows, wall)
 
-    # only keys where the source wins enter the delta (rejected rows would
-    # make the read-time fold tie nondeterministic and bloat delta chains)
-    win_keys = per_key.filter(n_src_wins).select(*key_cols)
-    delta = delta.join(win_keys, on=key_cols, how="left_semi")
+    # Rejected-row hygiene. A key that lost the LSN guard splits two ways:
+    #   * _s_lsn < t_lsn (the normal late tail): its delta row loses every
+    #     read-time fold DETERMINISTICALLY (strictly lower _lsn), so it is
+    #     harmless junk that compaction sweeps — no per-batch filter cost;
+    #   * _s_lsn == t_lsn (an EQUAL-LSN conflict — replayed range with a
+    #     different payload, or a malformed feed): its tie with the base
+    #     row in the fold would be nondeterministic, so those keys MUST be
+    #     filtered out of the delta. Ties are absent in normal operation
+    #     (a pure replay takes the wins==0 path above), so the broadcast
+    #     anti-join below is effectively never paid in the hot path.
+    if n_ties > 0:
+        tie_keys = per_key.filter(F.col("_s_lsn") == t_lsn).select(*key_cols)
+        delta = delta.join(F.broadcast(tie_keys), on=key_cols, how="left_anti")
 
     version = table.commit_delta(
         spark,
@@ -199,7 +225,6 @@ def _apply_mor(
         },
     )
     _pt = _tick("mor-commit", _pt)
-    per_key.unpersist()
     winners.unpersist()
 
     wall = int((time.time() - t0) * 1000)

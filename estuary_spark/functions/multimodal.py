@@ -60,22 +60,45 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return df.select([f.name for f in MEDIA_SCHEMA.fields])
 
 
-def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in for a real decode+embed kernel."""
-    if payload is None:
-        return [0.0] * dim
-    acc, out = 2166136261, []
-    for i, byte in enumerate(payload):
-        acc = (acc ^ byte) * 16777619 % (1 << 32)
-        if i % max(1, len(payload) // dim) == 0 and len(out) < dim:
-            out.append((acc % 1000) / 1000.0)
-    while len(out) < dim:
-        out.append(0.0)
-    return out
+def _batch_features(payloads, dim: int):
+    """Batch-VECTORIZED deterministic stand-in for a real decode+embed
+    kernel: all payload bytes of the Arrow batch are concatenated into one
+    numpy buffer and every per-item reduction runs as C-loop numpy ops
+    (bincount-by-item-id), never per-element Python. THIS is the shape a
+    real kernel must keep (decode batched into one contiguous buffer /
+    tensor, reduce with vectorized ops) — a per-row ``Series.map(lambda)``
+    would be row-at-a-time Python inside the Arrow batch, the exact
+    anti-pattern the north rule bans.
+
+    Returns (n_bytes int32 array, feature float32 matrix [n, dim]).
+    """
+    import numpy as np
+
+    vals = [b if b is not None else b"" for b in payloads]
+    n = len(vals)
+    lengths = np.fromiter((len(b) for b in vals), dtype=np.int64, count=n)
+    buf = np.frombuffer(b"".join(vals), dtype=np.uint8).astype(np.int64)
+    # item id of every byte + byte position within its item
+    ids = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1])) if n else np.zeros(0, dtype=np.int64)
+    pos = np.arange(buf.size, dtype=np.int64) - np.repeat(starts, lengths)
+    feats = np.zeros((n, dim), dtype=np.float64)
+    for j in range(dim):
+        # per-dim position weights (public mix constants); zero-length
+        # payloads fall out naturally as all-zero features via bincount
+        w = (pos * ((2 * j + 1) * 40503) + (j + 1) * 2654435761) % 251 + 1
+        sums = np.bincount(ids, weights=buf * w, minlength=n)
+        feats[:, j] = (sums % 1000) / 1000.0
+    return lengths.astype("int32"), feats.astype("float32")
 
 
 def decode_image(payload: bytes) -> "object":
-    """Real image decode — requires a codec library not in this container."""
+    """Real image decode — requires a codec library not in this container.
+
+    Contract for the real kernel (see ``_batch_features``): decode the
+    whole Arrow batch into one contiguous tensor and keep every reduction
+    vectorized — never per-row Python over the batch.
+    """
     raise NotImplementedError("image decode requires PIL/opencv; stubbed in this environment")
 
 
@@ -83,18 +106,20 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column.
 
     ``mapInPandas`` streams Arrow record batches; each batch is processed
-    as vectorized pandas — the correct shape for costly per-item decode at
-    scale (one Python worker per partition, batch-at-a-time transfer).
+    by a batch-vectorized numpy kernel (``_batch_features``) — the correct
+    shape for costly per-item decode at scale: one Python worker per
+    partition, Arrow batch-at-a-time transfer, C-loop math inside.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            n_bytes, feats = _batch_features(pdf["payload"], dim)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)).astype("int32"),
-                    "feature": pdf["payload"].map(lambda b: _fake_feature(b, dim)),
+                    "n_bytes": n_bytes,
+                    "feature": list(feats),
                 }
             )
 

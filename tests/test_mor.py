@@ -115,6 +115,7 @@ def test_mor_all_late_batch_keeps_lineage_and_records_range(spark, tmpdir_path):
         write_mode="mor",
         compact_every=0,
         envelope_cols=("lsn", "op"),
+        mor_prune_buckets=True,  # exercise the touched-bucket pruned path
     )
     b1 = spark.createDataFrame(
         [(10, "insert", "c1", 0, "A"), (11, "insert", "c2", 0, "B")],

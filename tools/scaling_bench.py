@@ -78,15 +78,19 @@ def main() -> None:
     gen = run_bench(["--gen-only", "--cpus", str(args.high)], env)
     print(f"log ready: {gen}", flush=True)
 
-    results = {}
-    for cpus in (args.low, args.high):
-        best = None
-        for i in range(args.runs):
+    # INTERLEAVE the two levels (low, high, low, high, ...): this box has
+    # time-varying CPU steal from co-tenants (single runs vary +-25%), so
+    # consecutive same-level runs would let a quiet/busy period bias one
+    # level; alternating spreads contention drift across both. Best-of-N
+    # per level is then compared.
+    results = {args.low: None, args.high: None}
+    for i in range(args.runs):
+        for cpus in (args.low, args.high):
             r = run_bench(["--apply-only", "--warmup", "--cpus", str(cpus)], env)
             print(f"local[{cpus}] run {i}: {r}", flush=True)
+            best = results[cpus]
             if best is None or r["events_per_sec"] > best["events_per_sec"]:
-                best = r
-        results[cpus] = best
+                results[cpus] = r
 
     lo, hi = results[args.low], results[args.high]
     ratio = hi["events_per_sec"] / lo["events_per_sec"]
