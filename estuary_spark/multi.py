@@ -158,6 +158,70 @@ def run_sync_multi(
     return {"tables": per_table, "batches": n_batches, "last_lsn": last_lsn}
 
 
+def run_sync_streaming_multi(
+    spark: SparkSession,
+    cfg: SyncConfig,
+    checkpoint_location: str,
+    max_files_per_trigger: int = 2,
+    available_now: bool = True,
+) -> dict:
+    """Structured Streaming front-end for the multi-table task: one
+    readStream over the log, each micro-batch routed and fanned out to the
+    per-table LakeTables inside ``foreachBatch`` (the reference's natural
+    shape — one binlog stream feeding many tables). File batches arrive in
+    modification-time order, so exactly-once rests on each table's wins==0
+    no-op detection (see streaming/runner.py), not range containment.
+    """
+    from estuary_spark.generator import read_log
+
+    static = read_log(spark, cfg.source_log_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("recursiveFileLookup", "true")
+        .parquet(cfg.source_log_dir)
+    )
+
+    tables: dict[str, LakeTable] = {}
+    stats: dict = {"batches": 0, "tables": {}}
+
+    def handle(batch_df, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        routed = route_tables(batch_df, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+        dsts = sorted(r[0] for r in routed.select(DST_COL).distinct().collect())
+        stats["batches"] += 1
+        for dst in dsts:
+            scfg = _sub_cfg(cfg, dst)
+            sub = routed.filter(F.col(DST_COL) == dst).drop(DST_COL, cfg.table_col)
+            if dst not in tables:
+                tables[dst] = open_or_create_table(sess, scfg, sub)
+            res = apply_batch(
+                sess,
+                tables[dst],
+                sub,
+                scfg,
+                int(batch_id),
+                offset_range=None,
+                check_applied_range=False,
+            )
+            t = stats["tables"].setdefault(dst, {"batches_run": 0, "rows_upserted": 0})
+            if not res.skipped:
+                t["batches_run"] += 1
+                t["rows_upserted"] += sum(r["rows_upserted"] for r in res.lineage)
+            if scfg.lineage_dir and res.lineage:
+                append_lineage(sess, scfg.lineage_dir, res.lineage)
+        routed.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_location)
+        .outputMode("update")
+    )
+    q = writer.trigger(availableNow=True).start() if available_now else writer.start()
+    q.awaitTermination()
+    return stats
+
+
 def read_final_state_multi(spark: SparkSession, cfg: SyncConfig) -> DataFrame:
     """Union of every destination table's final state, tagged with
     ``_dst_table`` (columns are unioned by name; tables missing a column

@@ -61,9 +61,20 @@ def main() -> None:
     ap.add_argument("--no-schema-evolution", action="store_true")
     ap.add_argument("--transforms", default="",
                     help="comma-separated per-event transform chain, e.g. normalize_whitespace,redact_pii")
+    ap.add_argument("--table-col", default=None,
+                    help="multi-table mode: log column naming the source table; routes each "
+                         "event to target/<table> (estuary's $db@$tb routing)")
+    ap.add_argument("--table-filter", default=None,
+                    help="regex whitelist over source-table names (estuary filterPattern)")
+    ap.add_argument("--table-blacklist", default=None,
+                    help="regex blacklist over source-table names (estuary filterBlackPattern)")
+    ap.add_argument("--table-rename", default="",
+                    help="comma-separated src=dst source->destination table renames (SDA mapping)")
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--app-name", default="estuary-spark-sync")
     args = ap.parse_args()
+
+    renames = dict(kv.split("=", 1) for kv in args.table_rename.split(",") if "=" in kv)
 
     from pyspark.sql import SparkSession
 
@@ -91,9 +102,24 @@ def main() -> None:
         write_mode=args.write_mode,
         compact_every=args.compact_every,
         transforms=tuple(t for t in args.transforms.split(",") if t),
+        table_col=args.table_col,
+        table_filter=args.table_filter,
+        table_blacklist=args.table_blacklist,
+        table_renames=renames,
     )
 
-    if args.streaming:
+    if args.table_col:
+        if args.streaming:
+            from estuary_spark.multi import run_sync_streaming_multi
+
+            if not args.checkpoint:
+                sys.exit("--checkpoint (a directory) is required with --streaming")
+            print(json.dumps(run_sync_streaming_multi(spark, cfg, args.checkpoint)))
+        else:
+            from estuary_spark.multi import run_sync_multi
+
+            print(json.dumps(run_sync_multi(spark, cfg, events_per_batch=args.events_per_batch)))
+    elif args.streaming:
         from estuary_spark.streaming import run_sync_streaming
 
         if not args.checkpoint:

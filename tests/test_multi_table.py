@@ -104,6 +104,33 @@ def test_multi_table_sync_and_replay(spark, tmpdir_path):
     } == state
 
 
+def test_multi_table_streaming(spark, tmpdir_path):
+    """The streaming front-end fans one file-stream out to the per-table
+    LakeTables and converges to the same per-table fold (file batches in
+    modification-time order; exactly-once via per-table wins==0)."""
+    _write_log(spark, tmpdir_path)
+    cfg = _mk_cfg(
+        tmpdir_path,
+        table_filter=r"^db1\.",
+        table_renames={"db1.conv_b": "conv_b_renamed"},
+    )
+    from estuary_spark.multi import run_sync_streaming_multi
+
+    stats = run_sync_streaming_multi(
+        spark, cfg, os.path.join(tmpdir_path, "ckpt"), max_files_per_trigger=1
+    )
+    assert stats["batches"] >= 2  # genuinely incremental
+    final = read_final_state_multi(spark, cfg)
+    state = {
+        (r["_dst_table"], r["conv_id"], r["turn_idx"], r["text"]) for r in final.collect()
+    }
+    assert state == {
+        ("db1.conv_a", "c1", 0, "a-v2"),
+        ("db1.conv_a", "c2", 1, "a2-v1"),
+        ("conv_b_renamed", "c9", 3, "b9-v1"),
+    }
+
+
 def test_multi_table_blacklist(spark, tmpdir_path):
     _write_log(spark, tmpdir_path)
     cfg = _mk_cfg(tmpdir_path, table_blacklist=r"\.audit$")
