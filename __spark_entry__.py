@@ -431,20 +431,28 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates verified by shingle Jaccard
-    (approximate op — rows-only check; see q_ngram_jaccard_pairs for the
-    exact-verified SQL-checkable variant)."""
-    from estuary_spark.functions.dedup import minhash_dedup_pairs
+    """Classic banded minhash-LSH near-dup pairs (4 bands x 4 rows,
+    S-curve threshold ~(1/4)^(1/4) ~ 0.71) verified by exact word-3gram
+    Jaccard >= 0.5 — on the polynomial hash family, so the DuckDB oracle
+    reproduces candidates AND verification bit-for-bit (r2 VERDICT item 1:
+    this query was rows-only under the xxhash64 family)."""
+    from estuary_spark.functions.dedup import minhash_banded_poly_pairs
 
     docs = _docs(spark, sf_dir)
-    return minhash_dedup_pairs(docs, threshold=0.5)
+    return minhash_banded_poly_pairs(
+        docs, threshold=0.5, num_hashes=16, bands=4, ngram_n=3, seed=11
+    )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from estuary_spark.functions.dedup import simhash_candidates
+    """60-bit poly-simhash near-dup pairs: banded (4 x 15-bit) hamming-LSH
+    blocking, hamming <= 8 verify — integer arithmetic end-to-end, so the
+    DuckDB oracle reproduces the fingerprints and the banded candidate join
+    exactly (r2 VERDICT item 1: was rows-only under xxhash64)."""
+    from estuary_spark.functions.dedup import simhash_poly_candidates
 
     docs = _docs(spark, sf_dir)
-    return simhash_candidates(docs, max_hamming=8)
+    return simhash_poly_candidates(docs, band_bits=15, max_hamming=8, seed=5)
 
 
 # ------------------------------------------------------------- similarity
@@ -479,40 +487,66 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table multi-probe hyperplane-LSH ANN top-5. Deterministic
+    given the seed: the DuckDB oracle bakes in the same planes and
+    replicates Spark's left-fold FP summation order for the bucket signs
+    AND the rerank cosine, so ranks match bit-for-bit (r2 VERDICT item 1)."""
     from estuary_spark.functions.similarity import lsh_ann_topk
 
-    emb = _load(spark, sf_dir, "embeddings")
+    emb = _load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     corpus = emb.filter(F.col("vec_id") >= 5)
-    return lsh_ann_topk(corpus, queries, k=5, n_planes=6, n_tables=8, dim=64)
+    out = lsh_ann_topk(corpus, queries, k=5, n_planes=6, n_tables=8, dim=64)
+    return out.select("query_id", "vec_id", F.round("cos", 3).alias("cos_r"), "rank")
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from estuary_spark.functions.similarity import ivf_topk
+    """IVF ANN with an externally-supplied codebook (the production shape:
+    centroids are fitted offline, assignment+probe is the hot path) —
+    deterministic, so the DuckDB oracle reproduces assignment (identical
+    FP distance folds, (d, c) tie-break), probing, and rerank exactly.
+    The fitted-kmeans path (centroids=None) is covered by the clustered
+    recall test in tests/test_functions.py."""
+    from estuary_spark.functions.similarity import ivf_topk, pseudo_random_centroids
 
-    emb = _load(spark, sf_dir, "embeddings")
+    emb = _load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     corpus = emb.filter(F.col("vec_id") >= 5)
     # random (unclusterable) embeddings need a high nprobe/n_clusters ratio
-    # for recall — 0.88 at 6/8 on this data; real clustered corpora probe
-    # a far smaller fraction
-    return ivf_topk(corpus, queries, k=5, n_clusters=8, nprobe=6)
+    # for recall; real clustered corpora probe a far smaller fraction
+    cents = pseudo_random_centroids(64, 8, seed=42)
+    out = ivf_topk(corpus, queries, k=5, n_clusters=8, nprobe=6, centroids=cents)
+    return out.select("query_id", "vec_id", F.round("cos", 3).alias("cos_r"), "rank")
 
 
 # ------------------------------------------------------------- multimodal
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media columns -> Arrow-batched feature extraction
-    (decode kernel stubbed; plumbing real)."""
+    """Binary media columns -> Arrow-batched feature extraction over
+    ``mapInPandas`` (decode kernel a deterministic vectorized stand-in;
+    plumbing real). The synthesis and the kernel are plain integer
+    arithmetic, so a DuckDB oracle reproduces the pipeline end-to-end —
+    including the batch-vectorized numpy reduction — and the mapInPandas
+    path itself is hash-gated (r2 VERDICT item 1: was rows-only). f0 is
+    reported in integer millis to keep the comparison FP-free."""
     from estuary_spark.functions.multimodal import extract_features, synthesize_media
 
     media = synthesize_media(spark, n=64)
     feats = extract_features(media)
-    return feats.select("media_id", "kind", "n_bytes", F.element_at("feature", 1).alias("f0"))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double") * 1000).cast("bigint").alias("f0_milli"),
+    )
 
 
 # --------------------------------------------------------------- contract
@@ -693,8 +727,11 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         "embedding_near_dup": _EMB_NEAR_DUP_ORACLE,
-        # minhash_pairs / simhash_pairs / ann_lsh_topk / ann_ivf_topk /
-        # multimodal_features are approximate or non-SQL ops -> rows-only.
+        "minhash_pairs": _MINHASH_BANDED_ORACLE,
+        "simhash_pairs": _SIMHASH_POLY_ORACLE,
+        "ann_lsh_topk": _ANN_LSH_ORACLE,
+        "ann_ivf_topk": _ANN_IVF_ORACLE,
+        "multimodal_features": _MULTIMODAL_ORACLE,
     }
 
 
@@ -822,6 +859,302 @@ FROM (
 
 
 _NGRAM_JACCARD_ORACLE = _ngram_jaccard_oracle()
+
+
+def _minhash_banded_oracle(
+    threshold: float = 0.5, num_hashes: int = 16, bands: int = 4, seed: int = 11
+) -> str:
+    """DuckDB reproduction of minhash_banded_poly_pairs: same word-3gram
+    sets, same Rabin-Karp gram hashes, same (a_i, b_i) family literals,
+    same AND-within-band / OR-across-bands candidate rule (r = 4 rows per
+    band), same exact-Jaccard verification."""
+    from estuary_spark.functions.dedup import _POLY_BASE, _POLY_PRIME, poly_hash_family
+
+    rows = num_hashes // bands
+    fam = poly_hash_family(num_hashes, seed)
+    sig_cols = ",\n           ".join(
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {_POLY_PRIME})) AS m{i}"
+        for i, (a, b) in enumerate(fam)
+    )
+    collide = " OR ".join(
+        "("
+        + " AND ".join(f"a.m{bi * rows + r} = b.m{bi * rows + r}" for r in range(rows))
+        + ")"
+        for bi in range(bands)
+    )
+    return f"""
+WITH t AS (
+    SELECT doc_id, regexp_extract_all(LOWER(text), '[A-Za-z0-9]+') AS toks
+    FROM documents
+), g AS (
+    SELECT doc_id,
+           list_distinct(
+               list_transform(
+                   range(0, greatest(len(toks) - 3, 0) + 1),
+                   i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')
+               )
+           ) AS grams
+    FROM t
+), h AS (
+    SELECT doc_id, grams,
+           list_transform(grams, gr -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split_regex(gr, ''), c -> ascii(c))),
+               (acc, c) -> (acc * {_POLY_BASE} + c) % {_POLY_PRIME}
+           )) AS hs
+    FROM g
+), sig AS (
+    SELECT doc_id, grams,
+           {sig_cols}
+    FROM h
+), cand AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
+    FROM sig a, sig b
+    WHERE a.doc_id < b.doc_id AND ({collide})
+)
+SELECT id_a, id_b, ROUND(jac, 6) AS jac
+FROM (
+    SELECT id_a, id_b,
+           len(list_intersect(ga, gb)) * 1.0 /
+           (len(ga) + len(gb) - len(list_intersect(ga, gb))) AS jac
+    FROM cand
+) WHERE jac >= {threshold}
+"""
+
+
+_MINHASH_BANDED_ORACLE = _minhash_banded_oracle()
+
+
+def _simhash_poly_oracle(band_bits: int = 15, max_hamming: int = 8, seed: int = 5) -> str:
+    """DuckDB reproduction of simhash_poly_candidates: same per-token
+    Rabin-Karp base hash, same two stacked poly-family members -> 60-bit
+    token hash, same majority-vote bit construction, same 15-bit band
+    blocking and hamming verify — integer arithmetic throughout."""
+    from estuary_spark.functions.dedup import (
+        _POLY_BASE,
+        _POLY_PRIME,
+        _SIMHASH_POLY_BITS,
+        poly_hash_family,
+    )
+
+    (a1, b1), (a2, b2) = poly_hash_family(2, seed)
+    nb = _SIMHASH_POLY_BITS // band_bits
+    mask = (1 << band_bits) - 1
+    bits = "\n         + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, x -> (x >> {b}) & 1 = 1)) > len(hs) "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(_SIMHASH_POLY_BITS)
+    )
+    return f"""
+WITH t AS (
+    SELECT doc_id, regexp_extract_all(LOWER(text), '[A-Za-z0-9]+') AS toks
+    FROM documents
+), h AS (
+    SELECT doc_id,
+           list_transform(
+               list_transform(toks, tok -> list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                                list_transform(string_split_regex(tok, ''), c -> ascii(c))),
+                   (acc, c) -> (acc * {_POLY_BASE} + c) % {_POLY_PRIME}
+               )),
+               bh -> ((bh * {a1} + {b1}) % {_POLY_PRIME})
+                     + ((bh * {a2} + {b2}) % {_POLY_PRIME}) * {1 << 30}
+           ) AS hs
+    FROM t
+), fp AS (
+    SELECT doc_id,
+           {bits} AS sh
+    FROM h
+), banded AS (
+    SELECT doc_id, sh, (sh >> (band * {band_bits})) & {mask} AS val, band
+    FROM fp, (SELECT UNNEST([{", ".join(str(i) for i in range(nb))}]) AS band)
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sh, b.sh)) AS hamming
+    FROM banded a JOIN banded b ON a.band = b.band AND a.val = b.val
+    WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {max_hamming}
+"""
+
+
+_SIMHASH_POLY_ORACLE = _simhash_poly_oracle()
+
+
+def _fold_dot_sql(a: str, b: str, dim: int) -> str:
+    """dot(a, b) with Spark's exact left-fold order:
+    aggregate(zip_with(a, b, *), 0.0, +) == list_reduce(list_prepend(0.0,
+    in-order products), +)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), i -> {a}[i] * {b}[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _fold_norm_sql(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({a}, v -> v * v)), (acc, x) -> acc + x))"
+    )
+
+
+def _fold_cos_sql(a: str, b: str, dim: int) -> str:
+    """cosine(a, b) with the identical FP operation order as
+    similarity.cosine — bit-identical doubles, so full-precision rank
+    ordering agrees between the engines."""
+    return f"({_fold_dot_sql(a, b, dim)} / ({_fold_norm_sql(a)} * {_fold_norm_sql(b)}))"
+
+
+def _lsh_bucket_exprs_sql(tables: list, n_planes: int, dim: int, vec: str = "emb") -> list[str]:
+    """Per-table bucket-id SQL expressions replicating
+    similarity.lsh_table_buckets (same plane literals, same left-fold dot
+    order for the sign bits, same t * 2^n_planes offset)."""
+
+    def dot_sql(plane: list[float]) -> str:
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {dim + 1}), i -> {vec}[i] * ({lit})[i])), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    out = []
+    for t, tbl in enumerate(tables):
+        bits = " + ".join(
+            f"(CASE WHEN {dot_sql(plane)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(tbl)
+        )
+        out.append(f"{t * (1 << n_planes)} + {bits}")
+    return out
+
+
+def _ann_lsh_oracle(
+    k: int = 5, n_planes: int = 6, n_tables: int = 8, dim: int = 64, seed: int = 42
+) -> str:
+    """DuckDB reproduction of lsh_ann_topk (similarity.py): same plane
+    literals and bucket arithmetic as _emb_near_dup_oracle, plus the
+    multi-probe flip set (own bucket + hamming-1 neighbors) on the query
+    side and a bit-identical full-precision cosine for the rerank order."""
+    from estuary_spark.functions.similarity import _hyperplanes
+
+    tables = [_hyperplanes(dim, n_planes, seed + 1_000_003 * t) for t in range(n_tables)]
+    buckets = ", ".join(_lsh_bucket_exprs_sql(tables, n_planes, dim))
+    flips = ", ".join(str(f) for f in [0] + [1 << i for i in range(n_planes)])
+    return f"""
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), bucketed AS (
+    SELECT vec_id, emb, UNNEST([{buckets}]) AS bkt FROM base
+), cb AS (
+    SELECT vec_id, bkt FROM bucketed WHERE vec_id >= 5
+), qb AS (
+    SELECT b.vec_id AS query_id, xor(b.bkt, f.flip) AS bkt
+    FROM bucketed b, (SELECT UNNEST([{flips}]) AS flip) f
+    WHERE b.vec_id < 5
+), cand AS (
+    SELECT DISTINCT q.query_id, c.vec_id
+    FROM qb q JOIN cb c ON q.bkt = c.bkt
+), scored AS (
+    SELECT cand.query_id, cand.vec_id,
+           {_fold_cos_sql("q.emb", "c.emb", dim)} AS cos
+    FROM cand
+    JOIN base q ON q.vec_id = cand.query_id
+    JOIN base c ON c.vec_id = cand.vec_id
+)
+SELECT query_id, vec_id, ROUND(cos, 3) AS cos_r, rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+    FROM scored
+) WHERE rank <= {k}
+"""
+
+
+_ANN_LSH_ORACLE = _ann_lsh_oracle()
+
+
+def _ann_ivf_oracle(
+    k: int = 5, n_clusters: int = 8, nprobe: int = 6, dim: int = 64, seed: int = 42
+) -> str:
+    """DuckDB reproduction of ivf_topk with the pseudo-random codebook:
+    same centroid literals, same FP fold order for the squared distances
+    (so assignment + probe sets match bit-for-bit under the (d, c)
+    tie-break), same bit-identical rerank cosine."""
+    from estuary_spark.functions.similarity import pseudo_random_centroids
+
+    cents = pseudo_random_centroids(dim, n_clusters, seed)
+    values = ",\n           ".join(
+        f"({c}, [{', '.join(repr(x) for x in cv)}]::DOUBLE[])" for c, cv in enumerate(cents)
+    )
+    sqdist = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> (b.emb[i] - cents.cv[i]) * (b.emb[i] - cents.cv[i]))), "
+        f"(acc, x) -> acc + x)"
+    )
+    return f"""
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), cents(c, cv) AS (
+    VALUES {values}
+), d AS (
+    SELECT b.vec_id, b.emb, cents.c, {sqdist} AS d
+    FROM base b CROSS JOIN cents
+), ca AS (
+    SELECT vec_id, emb, c AS cluster
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+          FROM d WHERE vec_id >= 5)
+    WHERE rn = 1
+), qa AS (
+    SELECT vec_id AS query_id, emb, c AS cluster
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+          FROM d WHERE vec_id < 5)
+    WHERE rn <= {nprobe}
+), scored AS (
+    SELECT qa.query_id, ca.vec_id,
+           {_fold_cos_sql("qa.emb", "ca.emb", dim)} AS cos
+    FROM qa JOIN ca ON qa.cluster = ca.cluster
+)
+SELECT query_id, vec_id, ROUND(cos, 3) AS cos_r, rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+    FROM scored
+) WHERE rank <= {k}
+"""
+
+
+_ANN_IVF_ORACLE = _ann_ivf_oracle()
+
+
+def _multimodal_oracle(n: int = 64, seed: int = 42, dim_j: int = 0) -> str:
+    """DuckDB reproduction of synthesize_media + the batch-vectorized
+    feature kernel for dim j=0: payload = utf-8 bytes of md5(id || ':seed'),
+    f0 = sum(byte * ((pos * 40503 + 2654435761) % 251 + 1)) % 1000 —
+    pure int64 arithmetic both sides (multimodal._batch_features does the
+    same sums via numpy bincount; float64 is exact for these magnitudes)."""
+    w = f"((p * {(2 * dim_j + 1) * 40503} + {(dim_j + 1) * 2654435761}) % 251 + 1)"
+    return f"""
+WITH m AS (
+    SELECT range AS id FROM range({n})
+), d AS (
+    SELECT id AS media_id,
+           CASE CAST(((id * 2654435761 + {seed}) % 251) % 3 AS INTEGER)
+                WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           md5(CAST(id AS VARCHAR) || ':{seed}') AS hex
+    FROM m
+)
+SELECT media_id, kind,
+       CAST(LENGTH(hex) AS INTEGER) AS n_bytes,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0, LENGTH(hex)),
+                   p -> CAST(ascii(substring(hex, CAST(p + 1 AS INTEGER), 1)) AS BIGINT) * {w})),
+           (acc, x) -> acc + x) % 1000 AS f0_milli
+FROM d
+"""
+
+
+_MULTIMODAL_ORACLE = _multimodal_oracle()
 
 def _emb_near_dup_oracle(
     threshold: float = 0.2, n_planes: int = 6, n_tables: int = 4, dim: int = 64, seed: int = 42

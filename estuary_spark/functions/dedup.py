@@ -265,6 +265,7 @@ def minhash_poly_pairs(
     num_hashes: int = 16,
     ngram_n: int = 3,
     seed: int = 7,
+    cache: list | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard verified WITHIN minhash candidates — the scale
     shape for "exact" near-dup pairs (VERDICT r1: the standalone all-pairs
@@ -275,10 +276,18 @@ def minhash_poly_pairs(
     is 1-(1-s)^num_hashes (~0.97 at s=0.2 with 16 hashes) — and the result
     is fully deterministic given the seed, so a SQL oracle reproduces it
     bit-for-bit. Candidates then verified by exact Jaccard >= threshold.
+
+    The shingled intermediate is persisted (it feeds candidate generation
+    and both sides of the verify join); in a long-lived session pass a
+    ``cache`` list to receive the persisted DataFrame and unpersist it once
+    the result is materialized — otherwise the cached blocks live until
+    they are LRU-evicted.
     """
     fam = poly_hash_family(num_hashes, seed)
     g = df.select(F.col(id_col).alias("_id"), word_ngrams(F.col(text_col), ngram_n).alias("_g"))
     h = g.select("_id", "_g", F.transform(F.col("_g"), poly_gram_hash).alias("_hs")).persist()
+    if cache is not None:
+        cache.append(h)
 
     def fam_i(a: int, b: int):
         # closure factory (a default arg would change the lambda arity
@@ -319,6 +328,78 @@ def minhash_poly_pairs(
     )
 
 
+def minhash_banded_poly_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram_n: int = 3,
+    seed: int = 11,
+    cache: list | None = None,
+) -> DataFrame:
+    """Classic banded minhash LSH (Broder/Leskovec r-rows-per-band
+    S-curve: AND within a band, OR across bands) on the ORACLE-CHECKABLE
+    polynomial hash family — candidate probability at similarity s is
+    1-(1-s^r)^bands with r = num_hashes/bands, then exact Jaccard >=
+    threshold verifies. Unlike ``minhash_dedup_pairs`` (xxhash64 family,
+    rows-only checkable) every step here is plain integer arithmetic a SQL
+    oracle reproduces bit-for-bit.
+
+    The scale shape is identical: the band-bucket equi-join (on the band
+    id + the band's r signature values) is a hash-shuffle join, O(n*bands)
+    rows, no cross join anywhere. Pass ``cache`` as in
+    ``minhash_poly_pairs`` to manage the shingle persist.
+    """
+    rows = num_hashes // bands
+    fam = poly_hash_family(num_hashes, seed)
+    g = df.select(F.col(id_col).alias("_id"), word_ngrams(F.col(text_col), ngram_n).alias("_g"))
+    h = g.select("_id", "_g", F.transform(F.col("_g"), poly_gram_hash).alias("_hs")).persist()
+    if cache is not None:
+        cache.append(h)
+
+    def fam_i(a: int, b: int):
+        # closure factory (see minhash_signature)
+        return lambda x: (x * F.lit(a) + F.lit(b)) % _POLY_PRIME
+
+    sig = h.select(
+        "_id",
+        *[
+            F.array_min(F.transform(F.col("_hs"), fam_i(a, b))).alias(f"_m{i}")
+            for i, (a, b) in enumerate(fam)
+        ],
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.array(*[F.col(f"_m{b * rows + r_}") for r_ in range(rows)]).alias("vals"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.vals")
+    cands = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "vals"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cands.join(h.select(F.col("_id").alias("id_a"), F.col("_g").alias("_ga")), "id_a")
+        .join(h.select(F.col("_id").alias("id_b"), F.col("_g").alias("_gb")), "id_b")
+        .withColumn("_j", jaccard(F.col("_ga"), F.col("_gb")))
+        .filter(F.col("_j") >= threshold)
+        .select("id_a", "id_b", F.round("_j", 6).alias("jac"))
+    )
+
+
 # ------------------------------------------------------------------ simhash
 
 def simhash64(col: Column, k_tokens: int = 0) -> Column:
@@ -335,22 +416,26 @@ def simhash64(col: Column, k_tokens: int = 0) -> Column:
 
 
 def simhash64_from_hashes(hashes: Column) -> Column:
+    return simhash_from_hashes(hashes, 64)
+
+
+def simhash_from_hashes(hashes: Column, nbits: int = 64) -> Column:
     """SimHash from a (preferably pre-materialized) token-hash array —
     materializing the hash array once avoids re-tokenizing/re-hashing the
     text per bit.
 
-    Single pass over the tokens: the fold accumulator is the 64-vector of
-    per-bit +1/-1 counts (``zip_with`` against each hash's sign vector,
+    Single pass over the tokens: the fold accumulator is the nbits-vector
+    of per-bit +1/-1 counts (``zip_with`` against each hash's sign vector,
     extracted with a literal bit-mask array), then the positive counts are
-    re-packed into the 64-bit fingerprint via a power-of-two literal array
-    — 1 token-array traversal instead of 64."""
+    re-packed into the nbits-bit fingerprint via a power-of-two literal
+    array — 1 token-array traversal instead of nbits."""
 
     def signed64(x: int) -> int:
         x &= (1 << 64) - 1
         return x - (1 << 64) if x >= (1 << 63) else x
 
-    masks = F.array(*[F.lit(signed64(1 << b)).cast("long") for b in range(64)])
-    zero = F.array_repeat(F.lit(0).cast("long"), 64)
+    masks = F.array(*[F.lit(signed64(1 << b)).cast("long") for b in range(nbits)])
+    zero = F.array_repeat(F.lit(0).cast("long"), nbits)
 
     def signs(h: Column) -> Column:
         return F.transform(masks, lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1))
@@ -398,6 +483,79 @@ def simhash_candidates(
             F.struct(F.lit(i).alias("band"),
                      F.shiftright(F.col("_sh"), i * band_bits).bitwiseAND(F.lit((1 << band_bits) - 1)).alias("val"))
             for i in range(64 // band_bits)
+        ]),
+    )
+    banded = base.select("_id", "_sh", F.explode("_bands").alias("bb")).select(
+        "_id", "_sh", "bb.band", "bb.val"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band", "val"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming64(F.col("a._sh"), F.col("b._sh")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# 60-bit poly simhash: two independent members of the polynomial family
+# supply 30 uniform-ish bits each (values < p ~ 2^30), stacked into one
+# 60-bit token hash — every step plain int64 arithmetic, so a SQL oracle
+# reproduces the fingerprints bit-for-bit (xxhash64 cannot be).
+_SIMHASH_POLY_BITS = 60
+
+
+def simhash_poly_fingerprint(col: Column, seed: int = 5) -> Column:
+    """60-bit SimHash of the word-token multiset over the oracle-checkable
+    polynomial hash family (same sign-aggregate construction as
+    ``simhash64``, Charikar 2002)."""
+    (a1, b1), (a2, b2) = poly_hash_family(2, seed)
+    toks = tokens(col)
+    combined = F.transform(
+        toks,
+        lambda t: _stack_poly(poly_gram_hash(t), a1, b1, a2, b2),
+    )
+    return simhash_from_hashes(combined, _SIMHASH_POLY_BITS)
+
+
+def _stack_poly(h: Column, a1: int, b1: int, a2: int, b2: int) -> Column:
+    # h < p, a_i < p => h*a_i < p^2 ~ 1e18 < 2^63 (no overflow on either
+    # engine); low 30 bits from member 1, high 30 bits from member 2
+    lo = (h * F.lit(a1) + F.lit(b1)) % _POLY_PRIME
+    hi = (h * F.lit(a2) + F.lit(b2)) % _POLY_PRIME
+    return lo + hi * F.lit(1 << 30)
+
+
+def simhash_poly_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 15,
+    max_hamming: int = 8,
+    seed: int = 5,
+) -> DataFrame:
+    """Near-dup pairs by 60-bit poly-simhash: docs sharing any
+    ``band_bits``-bit band (banded equi-join — hamming-LSH blocking, the
+    same scale shape as ``simhash_candidates``), verified by hamming
+    distance <= max_hamming. Deterministic given the seed and fully
+    reproducible in a SQL oracle (integer arithmetic only)."""
+    nb = _SIMHASH_POLY_BITS // band_bits
+    mask = (1 << band_bits) - 1
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        simhash_poly_fingerprint(F.col(text_col), seed).alias("_sh"),
+    ).withColumn(
+        "_bands",
+        F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("_sh"), i * band_bits).bitwiseAND(F.lit(mask)).alias("val"),
+            )
+            for i in range(nb)
         ]),
     )
     banded = base.select("_id", "_sh", F.explode("_bands").alias("bb")).select(

@@ -46,7 +46,13 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     df = (
         spark.range(n)
         .withColumn("media_id", F.col("id"))
-        .withColumn("_k", (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int"))
+        # kind derived via plain int64 arithmetic (NOT xxhash64) so a SQL
+        # oracle reproduces the synthesis exactly; 2654435761 is Knuth's
+        # multiplicative-hash constant, 251/3 spread the ids across kinds
+        .withColumn(
+            "_k",
+            (F.pmod(F.pmod(F.col("id") * F.lit(2654435761) + F.lit(seed), F.lit(251)), F.lit(3)) + 1).cast("int"),
+        )
         .withColumn("kind", F.element_at(kinds, F.col("_k")))
         .withColumn("mime", F.element_at(mimes, F.col("_k")))
         .withColumn(

@@ -175,6 +175,57 @@ def lsh_ann_topk(
     )
 
 
+def pseudo_random_centroids(dim: int, n_clusters: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit centroids (same public LCG recipe
+    as ``_hyperplanes``) — the ``centroids=`` input for IVF when cells are
+    assigned by an externally-fixed codebook (and for SQL oracles, which
+    bake the identical literals in)."""
+    return _hyperplanes(dim, n_clusters, seed)
+
+
+def fit_centroids_kmeans(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_clusters: int,
+    sample_size: int = 2048,
+    iters: int = 5,
+    seed: int = 42,
+) -> list[list[float]]:
+    """k-means-lite centroid fit on a bounded driver-side sample.
+
+    The sample is drawn in xxhash64(id) order (TakeOrdered — one narrow
+    pass, no full sort shuffle), NOT ``limit()``: limit takes the first
+    rows of the first partition(s), which at 100 TB is one file's worth of
+    possibly temporally/spatially clustered vectors — biased centroids
+    silently degrade recall (r2 VERDICT finding #1). Hash order is
+    uniform over the corpus regardless of file layout.
+    """
+    import numpy as np
+
+    sample = np.array(
+        [
+            r[0]
+            for r in corpus.select(F.col(vec_col), F.col(id_col))
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+            .limit(sample_size)
+            .select(vec_col)
+            .collect()
+        ],
+        dtype="float64",
+    )
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for ci in range(len(cents)):
+            m = sample[assign == ci]
+            if len(m):
+                cents[ci] = m.mean(0)
+    return [[float(x) for x in cv] for cv in cents]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -187,29 +238,28 @@ def ivf_topk(
     sample_size: int = 2048,
     iters: int = 5,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF-flat ANN: fit centroids on a bounded driver-side sample
-    (k-means-lite), assign corpus vectors to nearest centroid JVM-side,
-    and probe only the ``nprobe`` nearest cells per query.
+    """IVF-flat ANN: assign corpus vectors to their nearest centroid
+    JVM-side and probe only the ``nprobe`` nearest cells per query.
+
+    ``centroids`` supplied => use them verbatim (the production shape: the
+    codebook is fitted offline/periodically, assignment+probe is the hot
+    path — and the whole query becomes deterministic, SQL-oracle-checkable
+    integer/float arithmetic). Otherwise fit k-means-lite on a bounded
+    unbiased sample (``fit_centroids_kmeans``).
 
     At 100 TB the centroid fit stays O(sample); assignment is one narrow
     map; the probe join is an equi-join on cluster id.
     """
-    import numpy as np
-
-    sample = np.array(
-        [r[0] for r in corpus.select(vec_col).limit(sample_size).collect()],
-        dtype="float64",
-    )
-    rng = np.random.RandomState(seed)
-    cents = sample[rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)]
-    for _ in range(iters):
-        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-        assign = d.argmin(1)
-        for ci in range(len(cents)):
-            m = sample[assign == ci]
-            if len(m):
-                cents[ci] = m.mean(0)
+    if centroids is not None:
+        cents = centroids
+        if len(cents) != n_clusters:
+            raise ValueError(f"{len(cents)} centroids supplied but n_clusters={n_clusters}")
+    else:
+        cents = fit_centroids_kmeans(
+            corpus, vec_col, id_col, n_clusters, sample_size, iters, seed
+        )
 
     # all centroid distances in ONE nested higher-order expression (a
     # single transform over the centroid literal matrix) — not one

@@ -65,6 +65,76 @@ def test_minhash_poly_pairs(docs):
             minhash_poly_pairs(docs, threshold=0.2, num_hashes=16, seed=7).collect()} == pairs
 
 
+def _exact_allpairs_jaccard(docs, threshold, ngram_n=3):
+    """Reference: brute-force all-pairs word-ngram Jaccard (test scale
+    only — the O(n²) shape the banded operators exist to avoid)."""
+    from estuary_spark.functions.dedup import jaccard, word_ngrams
+
+    g = docs.select(F.col("doc_id").alias("_id"), word_ngrams(F.col("text"), ngram_n).alias("_g"))
+    a, b = g.alias("a"), g.alias("b")
+    out = (
+        a.crossJoin(b)
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(jaccard(F.col("a._g"), F.col("b._g")), 6).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+    return {(r["id_a"], r["id_b"]): r["jac"] for r in out.collect()}
+
+
+def test_minhash_poly_vs_exact_allpairs(docs):
+    """ADVICE r2: the gate oracle reproduces the SAME candidate logic as
+    the implementation, so a shared candidate-recall bug would pass the
+    gate undetected — this cross-checks against an independently-computed
+    exact all-pairs result: precision must be 1.0 (candidates are
+    exact-verified) and recall high (1-(1-s)^16 at s=0.2 is ~0.97/pair)."""
+    from estuary_spark.functions.dedup import minhash_poly_pairs
+
+    got = {(r["id_a"], r["id_b"]): r["jac"] for r in
+           minhash_poly_pairs(docs, threshold=0.2, num_hashes=16, seed=7).collect()}
+    exact = _exact_allpairs_jaccard(docs, threshold=0.2)
+    assert set(got) <= set(exact)                      # precision 1.0
+    assert all(got[p] == exact[p] for p in got)        # verified jaccards identical
+    assert len(got) / len(exact) >= 0.9                # candidate recall
+
+
+def test_minhash_banded_poly_vs_exact(docs):
+    """Banded (4x4 S-curve) poly minhash: exact-verified pairs are a
+    subset of brute-force all-pairs with identical jaccard values; the
+    exact dup and near dup are caught; no cross join in the plan."""
+    from estuary_spark.functions.dedup import minhash_banded_poly_pairs
+
+    out = minhash_banded_poly_pairs(docs, threshold=0.5, num_hashes=16, bands=4, seed=11)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    got = {(r["id_a"], r["id_b"]): r["jac"] for r in out.collect()}
+    exact = _exact_allpairs_jaccard(docs, threshold=0.5)
+    assert set(got) <= set(exact)
+    assert all(got[p] == exact[p] for p in got)
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert (0, 2) in got                   # near dup above the S-curve knee
+    assert not any(4 in p for p in got)
+
+
+def test_simhash_poly_candidates(docs):
+    """60-bit poly simhash: deterministic, identical texts at hamming 0,
+    near dups closer than unrelated docs, banded equi-join only."""
+    from estuary_spark.functions.dedup import simhash_poly_candidates
+
+    out = simhash_poly_candidates(docs, band_bits=15, max_hamming=20, seed=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    rows = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert rows[(0, 1)] == 0               # identical text
+    assert (0, 2) in rows and rows[(0, 2)] <= 12   # near dup within radius
+    again = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_poly_candidates(docs, band_bits=15, max_hamming=20, seed=5).collect()}
+    assert again == rows
+
+
 def test_embedding_near_dup_lsh_blocking(spark):
     """Parameterized multi-table hyperplane blocking: near-identical
     vectors pair up; requires dim; effective block count is
@@ -168,6 +238,36 @@ def test_ivf_clustered_recall(spark):
     ex = {(r["query_id"], r["vec_id"]) for r in exact}
     ap = {(r["query_id"], r["vec_id"]) for r in approx}
     # probing 2/8 cells on clustered data keeps recall high
+    assert len(ex & ap) / len(ex) >= 0.9
+
+
+def test_ivf_fit_sample_unbiased_on_cluster_sorted_corpus(spark):
+    """r2 VERDICT finding #1: the centroid-fit sample used limit(), which
+    takes the first partition's rows — on a corpus written cluster-sorted
+    across files (the realistic 100 TB layout: time/space-correlated
+    vectors per file) the sample is ONE cluster and recall collapses. The
+    fix draws the bounded sample in xxhash64(id) order; this corpus is
+    deliberately cluster-sorted + range-partitioned so the old code fails."""
+    from estuary_spark.functions.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.RandomState(13)
+    centers = rng.randn(8, 16) * 4.0
+    vecs = np.concatenate([c + 0.3 * rng.randn(40, 16) for c in centers])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartitionByRange(
+        8, "vec_id"  # partition boundaries align with cluster boundaries
+    )
+    queries = emb.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 40 != 0)
+
+    exact = cosine_topk(corpus, queries, k=5).collect()
+    # sample_size 80 << corpus: limit() would see only the lowest-id
+    # cluster(s); the hash-ordered draw spans all 8
+    approx = ivf_topk(corpus, queries, k=5, n_clusters=8, nprobe=2, sample_size=80).collect()
+    ex = {(r["query_id"], r["vec_id"]) for r in exact}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx}
     assert len(ex & ap) / len(ex) >= 0.9
 
 
