@@ -23,6 +23,35 @@ import uuid
 from estuary_spark.tables import LakeTable
 
 
+class LogRetentionError(RuntimeError):
+    """A RESUMED start position (checkpoint hint or the table's applied
+    ranges) precedes the log's retention floor: events in
+    [start, floor) were purged and can no longer be replayed — resuming
+    would silently skip them. estuary C2 parity: the reference re-validates
+    a checkpointed binlog position against the files still on the server
+    before resuming (``mysql/utils/LogPositionHandler.scala:195-205`` in
+    /root/reference) instead of trusting it blindly. Set
+    ``SyncConfig.on_retention_gap="reset"`` to fall back to the floor
+    deliberately (accepting the gap) instead of failing."""
+
+    def __init__(self, start: int, floor: int):
+        self.start = start
+        self.floor = floor
+        super().__init__(
+            f"resumed start LSN {start} precedes the log retention floor {floor}: "
+            f"events in [{start}, {floor}) were purged and cannot be replayed; "
+            "set on_retention_gap='reset' to deliberately resume from the floor"
+        )
+
+
+def _check_retention(start: int, min_available_lsn: int, on_gap: str) -> int:
+    if start >= min_available_lsn:
+        return start
+    if on_gap == "reset":
+        return min_available_lsn
+    raise LogRetentionError(start, min_available_lsn)
+
+
 def save_checkpoint(path: str, state: dict) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
@@ -78,11 +107,13 @@ def resolve_stop_lsn(
 def resolve_start_lsn(
     cfg_start: int | None,
     checkpoint_path: str | None,
-    table: LakeTable,
+    table: LakeTable | None,
     start_ts: str | None = None,
     log_df=None,
     ts_col: str = "ts",
     lsn_col: str = "lsn",
+    min_available_lsn: int = 0,
+    on_retention_gap: str = "fail",
 ) -> int:
     """Start-position resolution (estuary C2 analogue): an explicitly
     supplied start wins (forced replay is safe — committed ranges are
@@ -90,17 +121,27 @@ def resolve_start_lsn(
     ranges, then a supplied start timestamp (estuary's binary-walk across
     binlog files, ``LogPositionHandler.findByStartTimeStamp`` — here one
     column-pruned min-aggregate with the ts predicate pushed to the
-    parquet scan), then the start of the log."""
+    parquet scan), then the start of the log.
+
+    RESUMED positions (checkpoint / applied ranges) are validated against
+    the log's retention floor (``min_available_lsn``, from
+    ``LogSource.min_available_lsn``): a resumed start below the floor
+    means purged events would be silently skipped — raise
+    ``LogRetentionError``, or fall back to the floor when
+    ``on_retention_gap="reset"`` (estuary's deliberate fallback,
+    ``LogPositionHandler.scala:195-205``). An EXPLICIT start is the
+    operator forcing a position and is not second-guessed; the default
+    start-of-log/timestamp paths can only see retained events."""
     if cfg_start is not None:
         return int(cfg_start)
     if checkpoint_path:
         st = load_checkpoint(checkpoint_path)
         if st is not None:
-            return int(st["next_lsn"])
-    if table.exists():
+            return _check_retention(int(st["next_lsn"]), min_available_lsn, on_retention_gap)
+    if table is not None and table.exists():
         ranges = table.applied_ranges()
         if ranges:
-            return ranges[-1][1] + 1
+            return _check_retention(ranges[-1][1] + 1, min_available_lsn, on_retention_gap)
     if start_ts is not None and log_df is not None:
         from pyspark.sql import functions as F
 

@@ -112,6 +112,14 @@ class SyncConfig:
     # start position resolution (estuary C2: checkpoint -> supplied ->
     # timestamp -> end). None = checkpoint else 0.
     start_lsn: int | None = None
+    # what to do when a RESUMED start position (checkpoint / applied
+    # ranges) precedes the log's retention floor, i.e. events it would
+    # replay have been purged (estuary re-validates the checkpointed
+    # binlog position against the files still on the server before
+    # resuming — LogPositionHandler.scala:195-205):
+    #   "fail"  — raise LogRetentionError (the default: surface the gap)
+    #   "reset" — deliberately resume from the retention floor
+    on_retention_gap: str = "fail"
     # start from event time instead of an LSN (estuary's binary-walk
     # findByStartTimeStamp, LogPositionHandler.scala:319-370 — here a
     # single min-aggregate over the log's ts column). Ignored when
@@ -150,6 +158,8 @@ class SyncConfig:
             raise ValueError(f"write_mode must be 'cow' or 'mor', got {self.write_mode!r}")
         if self.on_type_change not in ("fail", "cast"):
             raise ValueError(f"on_type_change must be 'fail' or 'cast', got {self.on_type_change!r}")
+        if self.on_retention_gap not in ("fail", "reset"):
+            raise ValueError(f"on_retention_gap must be 'fail' or 'reset', got {self.on_retention_gap!r}")
         if self.partition_strategy not in (
             PARTITION_MOD,
             PARTITION_PRIMARY_KEY,

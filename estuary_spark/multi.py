@@ -33,11 +33,16 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from estuary_spark.apply import apply_batch
-from estuary_spark.checkpoint import load_checkpoint, resolve_stop_lsn, save_checkpoint
+from estuary_spark.checkpoint import (
+    load_checkpoint,
+    resolve_start_lsn,
+    resolve_stop_lsn,
+    save_checkpoint,
+)
 from estuary_spark.config import SyncConfig
-from estuary_spark.generator import read_log
 from estuary_spark.lineage import append_lineage
 from estuary_spark.runner import open_or_create_table, plan_batches
+from estuary_spark.sources.log_source import LogSource, ParquetLogSource
 from estuary_spark.tables import BUCKET_COL, LakeTable
 
 DST_COL = "_dst_table"
@@ -92,6 +97,7 @@ def run_sync_multi(
     cfg: SyncConfig,
     events_per_batch: int = 50_000,
     max_batches: int | None = None,
+    source: LogSource | None = None,
 ) -> dict:
     """Run a multi-table sync task to the end of the log.
 
@@ -105,10 +111,23 @@ def run_sync_multi(
     Returns {"tables": {dst: {"batches_run": n, "rows_upserted": n,
     "rows_deleted": n}}, "batches": n, "last_lsn": lsn}.
     """
-    log_df = route_tables(read_log(spark, cfg.source_log_dir), cfg)
+    source = source or ParquetLogSource(cfg.source_log_dir, lsn_col=cfg.lsn_col)
+    log_df = route_tables(source.read_batch(spark), cfg)
 
     st = load_checkpoint(cfg.checkpoint_path) if cfg.checkpoint_path else None
-    start = int(st["next_lsn"]) if st else (cfg.start_lsn or 0)
+    # same C2 ladder as the single-table runner (explicit -> checkpoint ->
+    # start_ts -> 0), minus table applied-ranges: those are per-destination
+    # here and the global plan can't resume from any single table's ranges
+    start = resolve_start_lsn(
+        cfg.start_lsn,
+        cfg.checkpoint_path,
+        table=None,
+        start_ts=cfg.start_ts,
+        log_df=log_df,
+        lsn_col=cfg.lsn_col,
+        min_available_lsn=source.min_available_lsn(),
+        on_retention_gap=cfg.on_retention_gap,
+    )
     batch_id = int(st["next_batch_id"]) if st else 0
 
     stop = resolve_stop_lsn(cfg.stop_at_lsn, cfg.stop_at_ts, log_df, lsn_col=cfg.lsn_col)
@@ -164,6 +183,7 @@ def run_sync_streaming_multi(
     checkpoint_location: str,
     max_files_per_trigger: int = 2,
     available_now: bool = True,
+    source: LogSource | None = None,
 ) -> dict:
     """Structured Streaming front-end for the multi-table task: one
     readStream over the log, each micro-batch routed and fanned out to the
@@ -172,15 +192,8 @@ def run_sync_streaming_multi(
     modification-time order, so exactly-once rests on each table's wins==0
     no-op detection (see streaming/runner.py), not range containment.
     """
-    from estuary_spark.generator import read_log
-
-    static = read_log(spark, cfg.source_log_dir)
-    stream = (
-        spark.readStream.schema(static.schema)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .option("recursiveFileLookup", "true")
-        .parquet(cfg.source_log_dir)
-    )
+    source = source or ParquetLogSource(cfg.source_log_dir, lsn_col=cfg.lsn_col)
+    stream = source.read_stream(spark, max_files_per_trigger=max_files_per_trigger)
 
     tables: dict[str, LakeTable] = {}
     stats: dict = {"batches": 0, "tables": {}}
@@ -232,6 +245,11 @@ def read_final_state_multi(spark: SparkSession, cfg: SyncConfig) -> DataFrame:
         for d in (os.listdir(root) if os.path.isdir(root) else [])
         if LakeTable(os.path.join(root, d)).exists()
     )
+    if not dsts:
+        raise FileNotFoundError(
+            f"no destination tables under {root!r} — either no sync has run "
+            "yet or the table filter/blacklist matched nothing"
+        )
     out = None
     for dst in dsts:
         t = LakeTable(os.path.join(root, dst))

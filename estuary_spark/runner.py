@@ -26,8 +26,8 @@ from estuary_spark.checkpoint import (
     save_checkpoint,
 )
 from estuary_spark.config import SyncConfig
-from estuary_spark.generator import read_log
 from estuary_spark.lineage import append_lineage
+from estuary_spark.sources.log_source import LogSource, ParquetLogSource
 from estuary_spark.tables import BUCKET_COL, DELETED_COL, LSN_COL, LakeTable
 
 
@@ -102,9 +102,16 @@ def run_sync(
     cfg: SyncConfig,
     events_per_batch: int = 50_000,
     max_batches: int | None = None,
+    source: LogSource | None = None,
 ) -> SyncSummary:
-    """Run the sync task to the end of the log (or ``stop_at_lsn``)."""
-    log_df = read_log(spark, cfg.source_log_dir)
+    """Run the sync task to the end of the log (or ``stop_at_lsn``).
+
+    ``source`` is any :class:`LogSource` (default
+    :class:`ParquetLogSource` over ``cfg.source_log_dir``) — the apply
+    core never touches the wire format, so a :class:`KafkaLogSource` (or
+    a custom decode) drops in here without changes elsewhere."""
+    source = source or ParquetLogSource(cfg.source_log_dir, lsn_col=cfg.lsn_col)
+    log_df = source.read_batch(spark)
     table = open_or_create_table(spark, cfg, log_df)
     start = resolve_start_lsn(
         cfg.start_lsn,
@@ -113,6 +120,8 @@ def run_sync(
         start_ts=cfg.start_ts,
         log_df=log_df,
         lsn_col=cfg.lsn_col,
+        min_available_lsn=source.min_available_lsn(),
+        on_retention_gap=cfg.on_retention_gap,
     )
 
     st = load_checkpoint(cfg.checkpoint_path) if cfg.checkpoint_path else None

@@ -18,9 +18,64 @@ this module abstracts it so the apply core stays source-agnostic:
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
 from abc import ABC, abstractmethod
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+# Retention floor marker maintained by purge_log at the log root — the
+# analogue of "the earliest binlog file still on the server". Start-position
+# resolution probes it (estuary re-validates a checkpointed position against
+# `show binlog events` before resuming, LogPositionHandler.scala:195-205 in
+# /root/reference); without it a stale checkpoint below the retention floor
+# would silently skip purged events.
+RETENTION_FILE = "_retention.json"
+
+
+def log_retention_floor(log_dir: str) -> int:
+    """Lowest LSN the log still guarantees to retain (0 = everything)."""
+    p = os.path.join(log_dir, RETENTION_FILE)
+    if not os.path.exists(p):
+        return 0
+    with open(p) as fh:
+        return int(json.load(fh).get("min_lsn", 0))
+
+
+def purge_log(log_dir: str, below_lsn: int, lsn_col: str = "lsn") -> int:
+    """Log retention maintenance: delete log parquet files whose events all
+    precede ``below_lsn`` (file-level, via parquet footer max stats — no
+    data read), then advance the retention-floor marker. The binlog
+    `purge binary logs` analogue. Returns the number of files removed."""
+    import pyarrow.parquet as pq
+
+    removed = 0
+    for dirpath, _dirs, files in os.walk(log_dir):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            path = os.path.join(dirpath, fn)
+            meta = pq.ParquetFile(path).metadata
+            idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+            if lsn_col not in idx:
+                continue
+            mx = None
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx[lsn_col]).statistics
+                if st is None or st.max is None:
+                    mx = None
+                    break
+                mx = st.max if mx is None else max(mx, st.max)
+            if mx is not None and mx < below_lsn:
+                os.remove(path)
+                removed += 1
+    floor = max(log_retention_floor(log_dir), int(below_lsn))
+    tmp = os.path.join(log_dir, f".tmp-retention-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump({"min_lsn": floor}, fh)
+    os.rename(tmp, os.path.join(log_dir, RETENTION_FILE))
+    return removed
 
 
 class LogSource(ABC):
@@ -28,7 +83,12 @@ class LogSource(ABC):
     def read_batch(self, spark: SparkSession, start_lsn: int | None = None, end_lsn: int | None = None) -> DataFrame: ...
 
     @abstractmethod
-    def read_stream(self, spark: SparkSession) -> DataFrame: ...
+    def read_stream(self, spark: SparkSession, max_files_per_trigger: int | None = None) -> DataFrame: ...
+
+    def min_available_lsn(self) -> int:
+        """Retention floor for start-position validation; 0 when the
+        source exposes no retention information."""
+        return 0
 
 
 class ParquetLogSource(LogSource):
@@ -50,13 +110,15 @@ class ParquetLogSource(LogSource):
             df = df.filter(F.col(self.lsn_col) <= end_lsn)
         return df
 
-    def read_stream(self, spark) -> DataFrame:
+    def read_stream(self, spark, max_files_per_trigger: int | None = None) -> DataFrame:
         static = self.read_batch(spark)
-        return (
-            spark.readStream.schema(static.schema)
-            .option("recursiveFileLookup", "true")
-            .parquet(self.path)
-        )
+        reader = spark.readStream.schema(static.schema).option("recursiveFileLookup", "true")
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return reader.parquet(self.path)
+
+    def min_available_lsn(self) -> int:
+        return log_retention_floor(self.path)
 
 
 class KafkaLogSource(LogSource):
@@ -88,12 +150,14 @@ class KafkaLogSource(LogSource):
             df = df.filter(F.col("lsn") <= end_lsn)
         return df
 
-    def read_stream(self, spark) -> DataFrame:
-        raw = (
+    def read_stream(self, spark, max_files_per_trigger: int | None = None) -> DataFrame:
+        reader = (
             spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", self.bootstrap)
             .option("subscribe", self.topic)
             .option("startingOffsets", self.starting_offsets)
-            .load()
         )
-        return self._decode(raw)
+        if max_files_per_trigger is not None:
+            # the Kafka analogue of the file-count trigger bound
+            reader = reader.option("maxOffsetsPerTrigger", str(max_files_per_trigger * 10_000))
+        return self._decode(reader.load())

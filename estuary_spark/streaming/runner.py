@@ -28,9 +28,9 @@ from pyspark.sql import SparkSession
 
 from estuary_spark.apply import apply_batch
 from estuary_spark.config import SyncConfig
-from estuary_spark.generator import read_log
 from estuary_spark.lineage import append_lineage
 from estuary_spark.runner import open_or_create_table
+from estuary_spark.sources.log_source import LogSource, ParquetLogSource
 
 
 def run_sync_streaming(
@@ -40,19 +40,19 @@ def run_sync_streaming(
     max_files_per_trigger: int = 2,
     available_now: bool = True,
     processing_time: str | None = None,
+    source: LogSource | None = None,
 ) -> dict:
     """Run the sync task as a streaming query. With ``available_now`` the
     query drains the current log and stops (deterministic; used by tests);
-    with ``processing_time`` it tails the log continuously."""
-    static = read_log(spark, cfg.source_log_dir)
+    with ``processing_time`` it tails the log continuously. ``source`` is
+    any :class:`LogSource` (default :class:`ParquetLogSource`); a
+    :class:`KafkaLogSource` drops in unchanged — the apply core is
+    source-agnostic."""
+    source = source or ParquetLogSource(cfg.source_log_dir, lsn_col=cfg.lsn_col)
+    static = source.read_batch(spark)
     table = open_or_create_table(spark, cfg, static)
 
-    stream = (
-        spark.readStream.schema(static.schema)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .option("recursiveFileLookup", "true")
-        .parquet(cfg.source_log_dir)
-    )
+    stream = source.read_stream(spark, max_files_per_trigger=max_files_per_trigger)
 
     stats = {"batches": 0, "skipped": 0, "upserted": 0, "deleted": 0}
 
