@@ -205,7 +205,19 @@ def _apply_mor(
     #     filtered out of the delta. Ties are absent in normal operation
     #     (a pure replay takes the wins==0 path above), so the broadcast
     #     anti-join below is effectively never paid in the hot path.
-    if n_ties > 0:
+    # When losers DOMINATE the batch (sustained backfill overlap, repeated
+    # partial replays that dodge the wins==0 path by containing a few
+    # winners), appending them would grow delta chains — and therefore
+    # read-fold and compaction work — with junk ∝ batch keys instead of
+    # ∝ state change. In that regime pay one semi-join to keep the delta
+    # ∝ winners (which also drops any tie keys: a tie is not a win). The
+    # condition is false in normal operation, so the hot path stays two
+    # driver actions with no extra shuffle.
+    n_losers = n_keys - n_wins
+    if n_losers > n_wins:
+        win_keys = per_key.filter(n_src_wins).select(*key_cols)
+        delta = delta.join(win_keys, on=key_cols, how="left_semi")
+    elif n_ties > 0:
         tie_keys = per_key.filter(F.col("_s_lsn") == t_lsn).select(*key_cols)
         delta = delta.join(F.broadcast(tie_keys), on=key_cols, how="left_anti")
 

@@ -72,31 +72,42 @@ def kafka_key_value(
     df: DataFrame,
     task_id: str,
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
-    envelope_cols: tuple[str, ...] = ("lsn", "op"),
+    num_partitions: int | None = None,
     **key_kwargs,
 ) -> DataFrame:
-    """Project a change-event DataFrame to the Kafka sink's (key, value,
-    partition-key) columns.
+    """Project a change-event DataFrame to the Kafka sink's message columns.
 
-    * ``key``   — the lineage JSON (see ``kafka_message_key``);
-    * ``value`` — the full event as JSON (envelope + payload);
-    * Kafka's own partitioner hashes the message key, so per-primary-key
-      ordering needs the PK in a stable position: we prepend the PK string
-      (``db@tb@pk`` analogue) as the FIRST key field via ``pkString``.
+    * ``key``     — the PK string (``db@tb@pk`` analogue) and NOTHING else:
+      Kafka's default partitioner hashes the key bytes, so a key that is
+      stable per PK is what actually keeps same-PK messages in one
+      partition (and therefore in order). Per-message fields (LSN, uuid)
+      must stay OUT of the key — that is the bug the reference solves with
+      a custom ``JsonKeyPartitioner``, which Spark's built-in sink can't
+      load.
+    * ``value``   — the full event as JSON (envelope + payload);
+    * ``headers`` — the BaseDataJsonKey-analogue lineage struct as one
+      ``lineage`` header (JSON bytes), so consumers still get task/offset
+      attribution without parsing the payload;
+    * ``partition`` (only when ``num_partitions`` is given) — explicit
+      ``hash(pk) % num_partitions``, for deployments that pin the mapping
+      independent of the producer's partitioner (the reference's
+      MultipleJsonKeyPartitionerJava shape).
     """
     pk = F.concat_ws("@", *[F.col(c).cast("string") for c in key_cols])
     lineage = kafka_message_key(df.columns, task_id, **key_kwargs)
-    # pkString FIRST in the key struct: Kafka's default partitioner hashes
-    # the serialized key, so same-PK messages land in one partition only if
-    # the whole key is stable per PK — it isn't (LSN varies). Consumers
-    # needing strict per-key ordering pass pkString as the producer
-    # partition key; the JSON still leads with it for cheap extraction.
-    key = F.to_json(F.struct(pk.alias("pkString"), *[lineage[f].alias(f) for f in
-                                                     ["appName", "syncTaskId", "syncTaskSequence",
-                                                      "dbName", "tableName", "eventType",
-                                                      "msgUuid", "msgSyncStartTime"]]))
     value = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
-    return df.select(key.alias("key"), value.alias("value"))
+    headers = F.array(
+        F.struct(
+            F.lit("lineage").alias("key"),
+            F.to_json(lineage).cast("binary").alias("value"),
+        )
+    )
+    cols = [pk.alias("key"), value.alias("value"), headers.alias("headers")]
+    if num_partitions is not None:
+        cols.append(
+            F.pmod(F.xxhash64(pk), F.lit(num_partitions)).cast("int").alias("partition")
+        )
+    return df.select(*cols)
 
 
 def write_stream_kafka(

@@ -70,15 +70,18 @@ class LakeTable:
 
     # ---------------------------------------------------------- snapshots
 
-    def current_version(self) -> int:
+    def versions(self) -> list[int]:
+        """All snapshot versions still present, ascending."""
         if not os.path.isdir(self._mdir):
-            return -1
-        versions = [
+            return []
+        return sorted(
             int(f[1:-5])
             for f in os.listdir(self._mdir)
             if f.startswith("v") and f.endswith(".json")
-        ]
-        return max(versions, default=-1)
+        )
+
+    def current_version(self) -> int:
+        return max(self.versions(), default=-1)
 
     def manifest(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
@@ -189,8 +192,10 @@ class LakeTable:
         buckets: list[int] | None = None,
         include_tombstones: bool = False,
         columns: list[str] | None = None,
+        version: int | None = None,
     ) -> DataFrame:
-        """Read the current snapshot; ``buckets`` prunes at the file level
+        """Read a snapshot (``version=None`` = current; an older retained
+        version is time travel); ``buckets`` prunes at the file level
         (the manifest knows every file's bucket — no directory listing, no
         footer reads for pruned buckets). Tombstoned rows are folded out
         unless ``include_tombstones`` (the merge path needs them for the
@@ -205,14 +210,14 @@ class LakeTable:
         ``columns`` prunes the parquet scan server-side (key/system columns
         are always kept so the fold and tombstone logic stay correct).
         """
-        m = self.manifest()
+        m = self.manifest(version)
         schema = T.StructType.fromJson(m["schema"])
         key_cols = m.get("key_cols", [])
         if columns is not None:
             need = list(dict.fromkeys([*key_cols, *columns, LSN_COL, DELETED_COL, BUCKET_COL]))
             schema = T.StructType([f for f in schema.fields if f.name in need])
 
-        dirty = set(self.delta_buckets())
+        dirty = {int(b) for b, fl in m.get("delta_files", {}).items() if fl}
         if buckets is not None:
             dirty &= {int(b) for b in buckets}
 
@@ -470,13 +475,48 @@ class LakeTable:
 
     # ------------------------------------------------------------- vacuum
 
+    def _referenced_files(self, m: dict) -> set[str]:
+        return {
+            os.path.join(self.root, f)
+            for kind in ("files", "delta_files")
+            for fl in m.get(kind, {}).values()
+            for f in fl
+        }
+
+    def expire_snapshots(self, keep: int = 5) -> dict:
+        """Snapshot expiration with retained history (the Iceberg
+        ``expireSnapshots`` shape): drop all but the newest ``keep``
+        snapshot manifests and delete data files referenced ONLY by the
+        expired ones. The kept snapshots remain fully readable
+        (``read(version=...)`` time travel over the retained window) —
+        unlike ``vacuum``, which collapses history to the current snapshot.
+        Returns {"snapshots_removed": n, "files_removed": n}."""
+        if keep < 1:
+            raise ValueError("expire_snapshots requires keep >= 1")
+        vs = self.versions()
+        expired, kept = vs[:-keep], vs[-keep:]
+        if not expired:
+            return {"snapshots_removed": 0, "files_removed": 0}
+        live: set[str] = set()
+        for v in kept:
+            live |= self._referenced_files(self.manifest(v))
+        doomed: set[str] = set()
+        for v in expired:
+            doomed |= self._referenced_files(self.manifest(v))
+        files_removed = 0
+        for p in sorted(doomed - live):
+            if os.path.exists(p):
+                os.remove(p)
+                files_removed += 1
+        for v in expired:
+            os.remove(os.path.join(self._mdir, f"v{v:010d}.json"))
+        return {"snapshots_removed": len(expired), "files_removed": files_removed}
+
     def vacuum(self) -> int:
         """Delete data files not referenced by the current snapshot.
         Returns the number of files removed. (Old snapshots become
         unreadable — run only when time travel is not needed.)"""
-        m = self.manifest()
-        live = {os.path.join(self.root, f) for fl in m["files"].values() for f in fl}
-        live |= {os.path.join(self.root, f) for fl in m.get("delta_files", {}).values() for f in fl}
+        live = self._referenced_files(self.manifest())
         removed = 0
         droot = os.path.join(self.root, DATA_DIR)
         for dirpath, _dirnames, filenames in os.walk(droot):

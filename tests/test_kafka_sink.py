@@ -1,11 +1,16 @@
-"""Kafka sink surface (S5): key/value construction with BaseDataJsonKey
-lineage fields — unit-tested without a broker (the sandbox has none), the
-same way the reference's key bean is testable independent of transport
-(bean/key/BaseDataJsonKey.java:10-123 in /root/reference)."""
+"""Kafka sink surface (S5): key/value/headers construction with
+BaseDataJsonKey lineage fields — unit-tested without a broker (the sandbox
+has none), the same way the reference's key bean is testable independent
+of transport (bean/key/BaseDataJsonKey.java:10-123 in /root/reference)."""
 
 import json
 
 from estuary_spark.sources.kafka_sink import kafka_key_value
+
+
+def _lineage(row) -> dict:
+    headers = {h["key"]: bytes(h["value"]) for h in row["headers"]}
+    return json.loads(headers["lineage"])
 
 
 def test_kafka_key_value_fields(spark):
@@ -15,16 +20,16 @@ def test_kafka_key_value_fields(spark):
     ]
     df = spark.createDataFrame(rows, ["lsn", "op", "conv_id", "turn_idx", "text"])
     out = kafka_key_value(df, task_id="task-42", db_name="transcripts_db").collect()
-    assert [r.__fields__ for r in out] == [["key", "value"]] * 2
+    assert [r.__fields__ for r in out] == [["key", "value", "headers"]] * 2
 
     by_lsn = {}
     for r in out:
-        k = json.loads(r["key"])
+        k = _lineage(r)
         v = json.loads(r["value"])
-        by_lsn[k["syncTaskSequence"]] = (k, v)
+        by_lsn[k["syncTaskSequence"]] = (r["key"], k, v)
 
-    k7, v7 = by_lsn[7]
-    assert k7["pkString"] == "c1@0"
+    pk7, k7, v7 = by_lsn[7]
+    assert pk7 == "c1@0"  # the message key is the PK string, nothing else
     assert k7["appName"] == "estuary-spark"
     assert k7["syncTaskId"] == "task-42"
     assert k7["dbName"] == "transcripts_db"
@@ -33,10 +38,36 @@ def test_kafka_key_value_fields(spark):
     assert len(k7["msgUuid"]) == 32  # md5 hex, deterministic
     assert v7["text"] == "hello" and v7["lsn"] == 7
 
-    k9, v9 = by_lsn[9]
-    assert k9["pkString"] == "c2@3"
+    pk9, k9, v9 = by_lsn[9]
+    assert pk9 == "c2@3"
     assert k9["eventType"] == "delete"
     assert "text" not in v9 or v9.get("text") is None  # to_json drops nulls
+
+
+def test_kafka_per_pk_partition_stability(spark):
+    """Same-PK messages must keep per-partition order: the message key is
+    the PK alone (stable across that key's events — the default
+    partitioner then pins the partition), and the explicit ``partition``
+    column maps every event of a PK to one partition."""
+    rows = [
+        (1, "insert", "c1", 0, "a"),
+        (2, "update", "c1", 0, "b"),
+        (3, "update", "c1", 0, "c"),
+        (4, "insert", "c2", 9, "d"),
+    ]
+    df = spark.createDataFrame(rows, ["lsn", "op", "conv_id", "turn_idx", "text"])
+    out = kafka_key_value(df, task_id="t", num_partitions=12).collect()
+    assert [r.__fields__ for r in out] == [["key", "value", "headers", "partition"]] * 4
+
+    by_pk: dict = {}
+    for r in out:
+        by_pk.setdefault(r["key"], set()).add(r["partition"])
+    # all three c1@0 events: one key byte-string, one partition
+    assert len(by_pk["c1@0"]) == 1
+    assert len(by_pk["c2@9"]) == 1
+    assert all(0 <= p < 12 for ps in by_pk.values() for p in ps)
+    # per-message fields (LSN) live in headers, not in the key
+    assert {_lineage(r)["syncTaskSequence"] for r in out} == {1, 2, 3, 4}
 
 
 def test_kafka_key_deterministic_across_runs(spark):
@@ -45,13 +76,13 @@ def test_kafka_key_deterministic_across_runs(spark):
     df = spark.createDataFrame([(1, "insert", "c", 0, "t")], ["lsn", "op", "conv_id", "turn_idx", "text"])
     a = kafka_key_value(df, task_id="t1").collect()[0]
     b = kafka_key_value(df, task_id="t1").collect()[0]
-    assert a["key"] == b["key"] and a["value"] == b["value"]
+    assert a["key"] == b["key"] and a["value"] == b["value"] and a["headers"] == b["headers"]
 
 
 def test_kafka_table_col_routing(spark):
-    """Multi-table streams put the per-event table name into the key."""
+    """Multi-table streams put the per-event table name into the lineage."""
     df = spark.createDataFrame(
         [(1, "insert", "db1.conv_a", "c", 0)], ["lsn", "op", "src_table", "conv_id", "turn_idx"]
     )
     out = kafka_key_value(df, task_id="t", table_col="src_table").collect()[0]
-    assert json.loads(out["key"])["tableName"] == "db1.conv_a"
+    assert _lineage(out)["tableName"] == "db1.conv_a"

@@ -69,6 +69,52 @@ def test_vacuum_removes_only_dead_files(spark, tmpdir_path):
     assert t.vacuum() == 0                      # second vacuum: nothing left
 
 
+def test_expire_snapshots_keeps_last_n_readable(spark, tmpdir_path):
+    """expire_snapshots(keep=N) is the Iceberg-parity middle ground:
+    history older than N snapshots is dropped (manifests + files only
+    they reference), the kept window stays time-travelable, and a final
+    vacuum of the rest is still safe."""
+    rows = [(i, "insert", f"c{i}", 0, f"t{i}") for i in range(20)] + [
+        (100 + i, "update", f"c{i}", 0, f"u{i}") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["lsn", "op", "conv_id", "turn_idx", "text"])
+    log_dir = os.path.join(tmpdir_path, "log")
+    df.repartitionByRange(4, "lsn").write.parquet(log_dir)
+    cfg = SyncConfig(
+        source_log_dir=log_dir,
+        target_table_dir=os.path.join(tmpdir_path, "t"),
+        n_buckets=4,
+        envelope_cols=("lsn", "op"),
+    )
+    run_sync(spark, cfg, events_per_batch=7)  # small batches => many snapshots
+    t = LakeTable(cfg.target_table_dir)
+
+    vs = t.versions()
+    assert len(vs) > 3
+    keep = 2
+    kept_expected = vs[-keep:]
+    snap_states = {
+        v: {tuple(r) for r in t.read(spark, version=v).select("conv_id", "text").collect()}
+        for v in kept_expected
+    }
+
+    res = t.expire_snapshots(keep=keep)
+    assert res["snapshots_removed"] == len(vs) - keep
+    assert t.versions() == kept_expected
+    # every kept snapshot is still fully readable, bit-identical
+    for v in kept_expected:
+        assert {
+            tuple(r) for r in t.read(spark, version=v).select("conv_id", "text").collect()
+        } == snap_states[v]
+    # expiring again is a no-op; vacuum afterwards only touches files the
+    # CURRENT snapshot doesn't reference (older kept snapshots may lose
+    # files — that is vacuum's documented contract, not expire's)
+    assert t.expire_snapshots(keep=keep) == {"snapshots_removed": 0, "files_removed": 0}
+    cur = {tuple(r) for r in t.read(spark).select("conv_id", "text").collect()}
+    t.vacuum()
+    assert {tuple(r) for r in t.read(spark).select("conv_id", "text").collect()} == cur
+
+
 def test_kafka_source_decode_shape(spark):
     """KafkaLogSource decode (S2 analogue): kafka-shaped binary values ->
     typed change events via JVM-side from_json; malformed JSON -> nulls,

@@ -180,6 +180,55 @@ def test_mor_rejected_rows_never_enter_delta(spark, tmpdir_path):
     assert state == {("c1", "A"), ("c2", "C")}
 
 
+def test_mor_late_heavy_batch_delta_bounded_by_winners(spark, tmpdir_path):
+    """Sustained late-heavy feeds (backfill overlap, partial replays with
+    a few genuine winners) must not grow delta chains with junk: when
+    losers dominate a batch, the committed delta is ∝ winners, not ∝
+    batch keys — while the folded state stays exactly right."""
+    from estuary_spark.apply import apply_batch
+    from estuary_spark.runner import open_or_create_table, read_final_state
+
+    cfg = SyncConfig(
+        source_log_dir=os.path.join(tmpdir_path, "log"),
+        target_table_dir=os.path.join(tmpdir_path, "t"),
+        n_buckets=4,
+        write_mode="mor",
+        compact_every=0,
+        envelope_cols=("lsn", "op"),
+    )
+    cols = ["lsn", "op", "conv_id", "turn_idx", "text"]
+    b1 = spark.createDataFrame(
+        [(1000 + i, "insert", f"c{i}", 0, f"v{i}") for i in range(100)], cols
+    )
+    table = open_or_create_table(spark, cfg, b1)
+    apply_batch(spark, table, b1, cfg, 0, offset_range=(1000, 1099))
+
+    def delta_paths():
+        return {
+            os.path.join(table.root, f)
+            for fl in table.manifest().get("delta_files", {}).values()
+            for f in fl
+        }
+
+    before = delta_paths()
+    # 90%-late batch: 90 keys at lower LSN (lose), 10 at higher (win)
+    late = [(10 + i, "update", f"c{i}", 0, "LATE") for i in range(90)]
+    wins = [(2000 + i, "update", f"c{i}", 0, f"new{i}") for i in range(90, 100)]
+    b2 = spark.createDataFrame(late + wins, cols)
+    r = apply_batch(spark, table, b2, cfg, 1, offset_range=(10, 2099), check_applied_range=False)
+    assert not r.skipped
+    assert sum(x["late_events"] for x in r.lineage) == 90
+
+    new_files = sorted(delta_paths() - before)
+    assert new_files
+    n_new_delta_rows = spark.read.parquet(*new_files).count()
+    assert n_new_delta_rows == 10  # ∝ winners, not the 100 batch keys
+
+    state = {(row["conv_id"], row["text"]) for row in read_final_state(spark, cfg).collect()}
+    assert all((f"c{i}", f"v{i}") in state for i in range(90))
+    assert all((f"c{i}", f"new{i}") in state for i in range(90, 100))
+
+
 def test_mor_delete_then_reinsert_across_batches(spark, tmpdir_path):
     """Tombstone in one delta, higher-LSN re-insert in a later delta: the
     fold must resurrect the key; a LOWER-LSN late update must not."""
