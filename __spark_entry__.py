@@ -187,6 +187,80 @@ FROM w WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def q_cdc_multi_table_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured table-level DDL ops mid-log (estuary drop/truncate
+    handling, ``MysqlTableSchemaHolder.scala:35-101`` in /root/reference):
+    db1.conv_a is TRUNCATED and db1.conv_b DROPPED at the log's midpoint
+    LSN — the engine must fold only post-op events for both (the dropped
+    table is recreated by its post-drop events), exactly what the oracle's
+    ``lsn > (min+max)//2`` fold states."""
+    from estuary_spark.config import SyncConfig
+    from estuary_spark.multi import read_final_state_multi, run_sync_multi
+
+    work = tempfile.mkdtemp(prefix="estuary-gate-multiops-")
+    log_dir = os.path.join(work, "log")
+    base = _derive_cdc_log(spark, sf_dir).withColumn(
+        "src_table",
+        F.when(F.pmod(F.col("lsn"), F.lit(3)) == 0, F.lit("db1.conv_a"))
+        .when(F.pmod(F.col("lsn"), F.lit(3)) == 1, F.lit("db1.conv_b"))
+        .otherwise(F.lit("db2.audit")),
+    )
+    lo, hi = base.agg(F.min("lsn"), F.max("lsn")).first()
+    t_op = (int(lo) + int(hi)) // 2
+    ops = spark.createDataFrame(
+        [
+            (t_op, "truncate", None, None, None, "db1.conv_a"),
+            (t_op, "drop_table", None, None, None, "db1.conv_b"),
+        ],
+        base.schema,
+    )
+    base.unionByName(ops).repartitionByRange(4, "lsn").write.parquet(log_dir)
+    cfg = SyncConfig(
+        source_log_dir=log_dir,
+        target_table_dir=os.path.join(work, "tables"),
+        n_buckets=4,
+        envelope_cols=("lsn", "op"),
+        table_col="src_table",
+        table_filter=r"^db1\.",
+        table_renames={"db1.conv_b": "conv_b_renamed"},
+    )
+    run_sync_multi(spark, cfg, events_per_batch=2000)
+    final = read_final_state_multi(spark, cfg)
+    return final.select(
+        F.col("_dst_table").alias("dst_table"), "conv_id", "turn_idx", "text", "_lsn"
+    )
+
+
+_CDC_MULTI_OPS_ORACLE = f"""
+WITH base AS ({_CDC_ORACLE_LOG}),
+cut AS (SELECT (MIN(lsn) + MAX(lsn)) // 2 AS t_op FROM base),
+log AS (
+    SELECT *,
+           CASE CAST(lsn % 3 AS INTEGER)
+                WHEN 0 THEN 'db1.conv_a'
+                WHEN 1 THEN 'db1.conv_b'
+                ELSE 'db2.audit' END AS src_table
+    FROM base
+),
+f AS (
+    SELECT *,
+           CASE WHEN src_table = 'db1.conv_b' THEN 'conv_b_renamed'
+                ELSE src_table END AS dst_table
+    FROM log
+    WHERE regexp_matches(src_table, '^db1\\.')
+      AND lsn > (SELECT t_op FROM cut)
+),
+w AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY dst_table, conv_id, turn_idx ORDER BY lsn DESC
+    ) AS rn
+    FROM f
+)
+SELECT dst_table, conv_id, turn_idx, text, lsn AS _lsn
+FROM w WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def q_cdc_fold_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Structured Streaming front-end end-to-end: readStream over the
     log files (modification-time order, NOT LSN order), foreachBatch
@@ -561,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_fold_engine": q_cdc_fold_engine,
         "cdc_fold_engine_mor": q_cdc_fold_engine_mor,
         "cdc_multi_table": q_cdc_multi_table,
+        "cdc_multi_table_ops": q_cdc_multi_table_ops,
         "cdc_fold_streaming": q_cdc_fold_streaming,
         "cdc_fold_declarative": q_cdc_fold_declarative,
         "cdc_latest_per_user": q_cdc_latest_per_user,
@@ -593,6 +668,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_fold_engine": _CDC_ORACLE_FOLD,
         "cdc_fold_engine_mor": _CDC_ORACLE_FOLD,
         "cdc_multi_table": _CDC_MULTI_ORACLE,
+        "cdc_multi_table_ops": _CDC_MULTI_OPS_ORACLE,
         "cdc_fold_streaming": _CDC_ORACLE_FOLD,
         "cdc_fold_declarative": _CDC_ORACLE_FOLD,
         "transcript_stats": f"""

@@ -47,6 +47,59 @@ from estuary_spark.tables import BUCKET_COL, LakeTable
 
 DST_COL = "_dst_table"
 
+# Table-level structured DDL ops carried in the change log (the analogue
+# of estuary's drop/truncate DDL handling, MysqlTableSchemaHolder.scala:
+# 35-101 in /root/reference — there parsed from SQL by ANTLR, here typed
+# events like every other op, per SURVEY.md §7.5's structured-DDL design).
+OP_TRUNCATE = "truncate"
+OP_DROP_TABLE = "drop_table"
+TABLE_OPS = (OP_TRUNCATE, OP_DROP_TABLE)
+
+
+def _apply_table_ops(batch: DataFrame, cfg: SyncConfig, tables: dict) -> DataFrame:
+    """Execute the batch's table-level ops and return the batch with op
+    events and superseded row events removed.
+
+    Semantics: the LATEST table-level op per destination wins; row events
+    at or below its LSN are superseded (they describe pre-truncate/drop
+    state). ``truncate`` commits an empty snapshot keeping applied-range
+    bookkeeping + an op watermark (replay-safe); ``drop_table`` removes
+    the destination entirely — later events recreate it fresh, which is
+    also the replay-converged state. Driver cost is O(#tables with ops);
+    the row-event filter is a literal predicate pushed into the scan.
+    """
+    ops = (
+        batch.filter(F.col(cfg.op_col).isin(*TABLE_OPS))
+        .groupBy(DST_COL)
+        .agg(
+            F.max_by(F.col(cfg.op_col), F.col(cfg.lsn_col)).alias("op"),
+            F.max(cfg.lsn_col).alias("at"),
+        )
+        .collect()
+    )
+    if not ops:
+        return batch
+    import shutil
+
+    for r in ops:
+        dst, at = r[DST_COL], int(r["at"])
+        tdir = os.path.join(cfg.target_table_dir, dst)
+        t = LakeTable(tdir)
+        if not t.exists():
+            continue  # op before any row event created the table
+        if int(t.properties().get("table_ops_lsn", -1)) >= at:
+            continue  # replayed batch: op already executed
+        if r["op"] == OP_DROP_TABLE:
+            shutil.rmtree(tdir)
+            tables.pop(dst, None)
+        else:
+            t.truncate(at_lsn=at)
+    cond = None
+    for r in ops:
+        this = (F.col(DST_COL) == r[DST_COL]) & (F.col(cfg.lsn_col) <= int(r["at"]))
+        cond = this if cond is None else cond | this
+    return batch.filter(~cond)
+
 
 def route_tables(df: DataFrame, cfg: SyncConfig) -> DataFrame:
     """Apply the F2 regex whitelist/blacklist and the T4 rename map.
@@ -141,18 +194,26 @@ def run_sync_multi(
     n_batches = 0
 
     for lo, hi in ranges:
-        batch = log_df.filter(F.col(cfg.lsn_col).between(lo, hi)).persist(
+        raw = log_df.filter(F.col(cfg.lsn_col).between(lo, hi)).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        # the destinations present in this batch: driver result is
-        # O(#tables), and this action materializes the batch cache the
+        # table-level ops first (truncate/drop, driver O(#tables with ops));
+        # the collect inside also materializes the batch cache the
         # per-table applies below reuse
+        batch = _apply_table_ops(raw, cfg, tables)
+        # the destinations present in this batch: driver result is O(#tables)
         dsts = sorted(r[0] for r in batch.select(DST_COL).distinct().collect())
         for dst in dsts:
             scfg = _sub_cfg(cfg, dst)
             sub = batch.filter(F.col(DST_COL) == dst).drop(DST_COL, cfg.table_col)
             if dst not in tables:
                 tables[dst] = open_or_create_table(spark, scfg, sub)
+            # fence late pre-truncate events arriving in later batches: a
+            # truncated key must not be resurrected by a straggler below
+            # the op watermark (literal predicate, pushed into the scan)
+            fence = int(tables[dst].properties().get("table_ops_lsn", -1))
+            if fence >= 0:
+                sub = sub.filter(F.col(cfg.lsn_col) > fence)
             res = apply_batch(
                 spark, tables[dst], sub, scfg, batch_id, offset_range=(lo, hi)
             )
@@ -165,7 +226,7 @@ def run_sync_multi(
                 stats["rows_deleted"] += sum(r["rows_deleted"] for r in res.lineage)
             if scfg.lineage_dir and res.lineage:
                 append_lineage(spark, scfg.lineage_dir, res.lineage)
-        batch.unpersist()
+        raw.unpersist()
         last_lsn = hi
         batch_id += 1
         n_batches += 1
@@ -200,7 +261,8 @@ def run_sync_streaming_multi(
 
     def handle(batch_df, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        routed = route_tables(batch_df, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+        raw = route_tables(batch_df, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+        routed = _apply_table_ops(raw, cfg, tables)
         dsts = sorted(r[0] for r in routed.select(DST_COL).distinct().collect())
         stats["batches"] += 1
         for dst in dsts:
@@ -208,6 +270,9 @@ def run_sync_streaming_multi(
             sub = routed.filter(F.col(DST_COL) == dst).drop(DST_COL, cfg.table_col)
             if dst not in tables:
                 tables[dst] = open_or_create_table(sess, scfg, sub)
+            fence = int(tables[dst].properties().get("table_ops_lsn", -1))
+            if fence >= 0:
+                sub = sub.filter(F.col(cfg.lsn_col) > fence)
             res = apply_batch(
                 sess,
                 tables[dst],
@@ -223,7 +288,7 @@ def run_sync_streaming_multi(
                 t["rows_upserted"] += sum(r["rows_upserted"] for r in res.lineage)
             if scfg.lineage_dir and res.lineage:
                 append_lineage(sess, scfg.lineage_dir, res.lineage)
-        routed.unpersist()
+        raw.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(handle)

@@ -448,6 +448,36 @@ class LakeTable:
         )
         return version
 
+    def truncate(self, at_lsn: int | None = None, batch_id: int | None = None) -> int:
+        """Table-level truncate (the structured analogue of estuary's DDL
+        truncate handling, ``MysqlTableSchemaHolder.scala:35-101`` in
+        /root/reference): commit a snapshot with NO data files, keeping
+        schema/buckets/applied-range bookkeeping (exactly-once replay
+        relies on the ranges). ``at_lsn`` records the op watermark in
+        ``properties["table_ops_lsn"]`` so (a) a replayed truncating batch
+        skips re-truncation and (b) late pre-truncate events arriving in
+        later batches can be fenced out instead of resurrecting rows."""
+        m = self.manifest()
+        version = m["version"] + 1
+        props = dict(m.get("properties", {}))
+        if at_lsn is not None:
+            props["table_ops_lsn"] = max(int(at_lsn), int(props.get("table_ops_lsn", -1)))
+        if batch_id is not None:
+            props["batch_ids"] = props.get("batch_ids", []) + [batch_id]
+        self._write_manifest(
+            {
+                "version": version,
+                "parent": m["version"],
+                "schema": m["schema"],
+                "key_cols": m["key_cols"],
+                "n_buckets": m["n_buckets"],
+                "files": {},
+                "delta_files": {},
+                "properties": props,
+            }
+        )
+        return version
+
     def evolve_schema(self, new_schema: T.StructType) -> int:
         """Additive schema evolution between micro-batches (metadata-only
         commit — the DDL-barrier analogue, SURVEY.md D4: schema changes

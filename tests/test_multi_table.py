@@ -104,6 +104,61 @@ def test_multi_table_sync_and_replay(spark, tmpdir_path):
     } == state
 
 
+def test_multi_table_truncate_and_drop(spark, tmpdir_path):
+    """Structured table-level ops mid-log (estuary DDL drop/truncate,
+    MysqlTableSchemaHolder.scala:35-101): truncate folds only post-op
+    events; drop removes the destination; replay converges; a late
+    pre-truncate straggler in a later batch is fenced out."""
+    rows = [
+        (1, "insert", "db1.a", "c1", 0, "a1"),
+        (2, "insert", "db1.a", "c2", 0, "a2"),
+        (3, "insert", "db1.b", "k1", 0, "b1"),
+        (4, "truncate", "db1.a", None, None, None),
+        (5, "insert", "db1.a", "c3", 0, "a3"),          # post-truncate
+        (6, "drop_table", "db1.b", None, None, None),
+        (7, "update", "db1.a", "c3", 0, "a3-v2"),
+    ]
+    df = spark.createDataFrame(rows, COLS)
+    df.repartitionByRange(2, "lsn").write.mode("overwrite").parquet(
+        os.path.join(tmpdir_path, "log")
+    )
+    cfg = _mk_cfg(tmpdir_path)
+    run_sync_multi(spark, cfg, events_per_batch=2)  # ops land mid-run
+
+    root = cfg.target_table_dir
+    assert not os.path.exists(os.path.join(root, "db1.b"))  # dropped
+    t = LakeTable(os.path.join(root, "db1.a"))
+    assert int(t.properties()["table_ops_lsn"]) == 4
+    state = {
+        (r["conv_id"], r["text"])
+        for r in read_final_state_multi(spark, cfg).collect()
+    }
+    assert state == {("c3", "a3-v2")}  # only post-truncate events folded
+
+    # replay from scratch (no checkpoint): ops are watermark-guarded,
+    # applied ranges + wins==0 keep data commits no-ops -> same state
+    cfg2 = _mk_cfg(tmpdir_path)
+    os.remove(cfg2.checkpoint_path)
+    run_sync_multi(spark, cfg2, events_per_batch=2)
+    assert {
+        (r["conv_id"], r["text"])
+        for r in read_final_state_multi(spark, cfg2).collect()
+    } == state
+
+    # a late pre-truncate straggler (lsn 3 < watermark 4, in an LSN range
+    # db1.a never recorded as applied, in a batch without the op row) must
+    # not resurrect: fenced by table_ops_lsn, not by range replay detection
+    extra = spark.createDataFrame([(3, "update", "db1.a", "c2", 0, "ZOMBIE")], COLS)
+    extra.write.mode("append").parquet(os.path.join(tmpdir_path, "log"))
+    cfg3 = _mk_cfg(tmpdir_path, start_lsn=0)
+    os.remove(cfg3.checkpoint_path)
+    run_sync_multi(spark, cfg3, events_per_batch=1)
+    assert {
+        (r["conv_id"], r["text"])
+        for r in read_final_state_multi(spark, cfg3).collect()
+    } == state
+
+
 def test_multi_table_streaming(spark, tmpdir_path):
     """The streaming front-end fans one file-stream out to the per-table
     LakeTables and converges to the same per-table fold (file batches in
