@@ -125,6 +125,58 @@ def q_cdc_fold_engine_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select("conv_id", "turn_idx", "text", "_lsn")
 
 
+def q_cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-out: run the MoR engine end-to-end (delta commits + mid-run
+    compaction), then read the NET CHANGE FEED since the log's midpoint
+    LSN via ``LakeTable.read_changes`` — one row per key whose state
+    changed in the window, payload as of 'now', with the winning LSN and
+    upsert/delete change type (Delta CDF / Iceberg incremental-scan
+    analogue; estuary's downstream-feed role is its Kafka sink,
+    ``kafka/KafkaSinkFunc.scala``). The manifest's per-commit LSN ranges
+    prune pre-midpoint delta commits driver-side; the oracle is the
+    one-shot SQL fold restricted to winners at ``lsn >= cut``."""
+    from estuary_spark.config import SyncConfig
+    from estuary_spark.runner import run_sync
+    from estuary_spark.tables import LakeTable
+
+    work = tempfile.mkdtemp(prefix="estuary-gate-changes-")
+    log_dir = os.path.join(work, "log")
+    log = _derive_cdc_log(spark, sf_dir)
+    log.repartitionByRange(4, "lsn").write.parquet(log_dir)
+    cfg = SyncConfig(
+        source_log_dir=log_dir,
+        target_table_dir=os.path.join(work, "table"),
+        n_buckets=8,
+        envelope_cols=("lsn", "op"),
+        write_mode="mor",
+        compact_every=3,
+    )
+    run_sync(spark, cfg, events_per_batch=2000)
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+    cut = (int(lo) + int(hi)) // 2
+    ch = LakeTable(cfg.target_table_dir).read_changes(spark, start_lsn=cut)
+    return ch.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        F.col("_change_lsn").alias("change_lsn"),
+        F.col("_change_type").alias("change_type"),
+    )
+
+
+_CDC_CHANGES_ORACLE = f"""
+WITH log AS ({_CDC_ORACLE_LOG}),
+cut AS (SELECT (MIN(lsn) + MAX(lsn)) // 2 AS s FROM log),
+w AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM log
+)
+SELECT conv_id, turn_idx, text, lsn AS change_lsn,
+       CASE WHEN op = 'delete' THEN 'delete' ELSE 'upsert' END AS change_type
+FROM w WHERE rn = 1 AND lsn >= (SELECT s FROM cut)
+"""
+
+
 def q_cdc_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table sync end-to-end: one log carrying three source tables,
     regex whitelist drops db2.*, SDA rename maps db1.conv_b ->
@@ -634,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_fold_engine": q_cdc_fold_engine,
         "cdc_fold_engine_mor": q_cdc_fold_engine_mor,
+        "cdc_changes_feed": q_cdc_changes_feed,
         "cdc_multi_table": q_cdc_multi_table,
         "cdc_multi_table_ops": q_cdc_multi_table_ops,
         "cdc_fold_streaming": q_cdc_fold_streaming,
@@ -667,6 +720,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_fold_engine": _CDC_ORACLE_FOLD,
         "cdc_fold_engine_mor": _CDC_ORACLE_FOLD,
+        "cdc_changes_feed": _CDC_CHANGES_ORACLE,
         "cdc_multi_table": _CDC_MULTI_ORACLE,
         "cdc_multi_table_ops": _CDC_MULTI_OPS_ORACLE,
         "cdc_fold_streaming": _CDC_ORACLE_FOLD,

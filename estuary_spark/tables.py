@@ -50,6 +50,40 @@ def bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
+def _commit_dir_of(rel_file: str) -> str:
+    """The commit directory a data file belongs to (files are laid out as
+    ``data/<commit or delta dir>/_bp=<bucket>/<part>.parquet``)."""
+    return rel_file.split("/_bp=", 1)[0]
+
+
+def _record_commit_range(
+    props: dict,
+    commit_rel: str,
+    lsn_range: list[int] | None,
+    files: dict,
+    delta_files: dict,
+) -> None:
+    """Maintain ``properties["commit_lsn_ranges"]`` — a per-commit-directory
+    [lsn_lo, lsn_hi] map that lets incremental readers (``read_changes``)
+    skip whole commit directories driver-side without touching parquet
+    footers (the Iceberg snapshot-summary / Delta CDF commit-version
+    analogue). ``lsn_range=None`` records nothing for the new commit
+    (readers treat an absent entry as "may contain anything" — always
+    conservative, never wrong). Entries for commit dirs no longer
+    referenced by any live file are dropped so the map is O(live commits),
+    not O(table history)."""
+    rng = dict(props.get("commit_lsn_ranges", {}))
+    if lsn_range is not None:
+        rng[commit_rel] = [int(lsn_range[0]), int(lsn_range[1])]
+    live = {
+        _commit_dir_of(f)
+        for kind in (files, delta_files)
+        for fl in kind.values()
+        for f in fl
+    }
+    props["commit_lsn_ranges"] = {d: r for d, r in rng.items() if d in live}
+
+
 def _merge_ranges(ranges: list[list[int]]) -> list[list[int]]:
     """Merge overlapping/adjacent [lo, hi] (inclusive) ranges."""
     out: list[list[int]] = []
@@ -252,6 +286,101 @@ class LakeTable:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
         return df
 
+    def read_changes(
+        self,
+        spark: SparkSession,
+        start_lsn: int,
+        end_lsn: int | None = None,
+        columns: list[str] | None = None,
+        version: int | None = None,
+        change_lsn_col: str = "_change_lsn",
+        change_type_col: str = "_change_type",
+    ) -> DataFrame:
+        """Net change feed (CDC-out): one row per key whose state changed
+        in ``[start_lsn, end_lsn]`` (``end_lsn=None`` = up to the current
+        snapshot), carrying the key's payload as of ``end_lsn`` plus
+        ``_change_lsn`` (the winning LSN) and ``_change_type``
+        (``'upsert'`` | ``'delete'``). This is the Delta CDF net-changes /
+        Iceberg incremental-scan analogue — the surface a downstream
+        incremental consumer (materialized aggregate, search indexer,
+        feature store) reads instead of re-scanning the table (estuary's
+        downstream role is played by its Kafka lineage topic,
+        ``kafka/KafkaSinkFunc.scala`` in /root/reference; here the lake
+        table itself serves the feed).
+
+        Correctness: the winner among a key's rows with ``_lsn <= end``
+        is the key's true state as of ``end``; restricting the scan to
+        ``_lsn >= start`` cannot change that winner for any EMITTED key
+        (the winner's LSN is >= start by definition of being emitted, and
+        older superseded rows never win a max-by fold), so both bounds
+        push down to the parquet scan as data filters. Keys untouched in
+        the window are never scanned, let alone emitted.
+
+        Scale: files are first pruned DRIVER-SIDE by the per-commit LSN
+        ranges the manifest records (``commit_lsn_ranges``) — a consumer
+        catching up over the last N batches opens only those batches'
+        delta files, O(changed data), even on a 100 TB table whose
+        compacted base commits are skipped entirely by their range
+        entries. The remaining scan carries the pushed LSN predicates for
+        row-group pruning inside any file that does overlap.
+
+        Retention contract: ``maintenance.purge_tombstones(watermark)``
+        physically drops delete markers below the watermark, so a feed
+        read with ``start_lsn`` below the purge watermark may miss
+        deletes — same contract as any CDC log retention (estuary's
+        binlog retention floor, ``LogPositionHandler.scala:195-205``).
+        With ``end_lsn`` set, history resolves at COMMIT granularity:
+        a batch's intermediate versions are pre-folded by LWW before
+        commit, and compaction further folds superseded versions away —
+        use a commit boundary (``properties["commit_lsn_ranges"]``) for
+        an exact as-of read; ``end_lsn=None`` (catch-up) is always exact.
+        """
+        if end_lsn is not None and end_lsn < start_lsn:
+            raise ValueError(f"end_lsn {end_lsn} < start_lsn {start_lsn}")
+        m = self.manifest(version)
+        schema = T.StructType.fromJson(m["schema"])
+        key_cols = m.get("key_cols", [])
+        if columns is not None:
+            need = list(dict.fromkeys([*key_cols, *columns, LSN_COL, DELETED_COL, BUCKET_COL]))
+            schema = T.StructType([f for f in schema.fields if f.name in need])
+
+        ranges = m.get("properties", {}).get("commit_lsn_ranges", {})
+
+        def overlaps(rel_file: str) -> bool:
+            r = ranges.get(_commit_dir_of(rel_file))
+            if r is None:
+                return True  # unknown commit: conservative, never wrong
+            return r[1] >= start_lsn and (end_lsn is None or r[0] <= end_lsn)
+
+        files = [
+            os.path.join(self.root, f)
+            for kind in ("files", "delta_files")
+            for fl in m.get(kind, {}).values()
+            for f in fl
+            if overlaps(f)
+        ]
+        if files:
+            df = spark.read.schema(schema).parquet(*files)
+        else:
+            df = spark.createDataFrame([], schema)
+        df = df.filter(F.col(LSN_COL) >= F.lit(int(start_lsn)))
+        if end_lsn is not None:
+            df = df.filter(F.col(LSN_COL) <= F.lit(int(end_lsn)))
+
+        payload = [c for c in df.columns if c not in key_cols]
+        folded = (
+            df.groupBy(*key_cols)
+            .agg(F.max_by(F.struct(*payload), F.col(LSN_COL)).alias("_w"))
+            .select(*key_cols, "_w.*")
+        )
+        return folded.select(
+            *[c for c in folded.columns if c not in (LSN_COL, DELETED_COL, BUCKET_COL)],
+            F.col(LSN_COL).alias(change_lsn_col),
+            F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias(change_type_col),
+        )
+
     # ------------------------------------------------------------ commit
 
     def commit(
@@ -324,6 +453,12 @@ class LakeTable:
             props["batch_ids"] = props.get("batch_ids", []) + [batch_id]
         if extra_properties:
             props.update(extra_properties)
+        # a COW rewrite folds a bucket's whole history into the new files,
+        # so the commit's LSN span is [0, max applied hi] — compaction and
+        # tombstone purges (applied_range=None) get the same conservative
+        # bound from the already-fused applied ranges
+        hi = max((r[1] for r in props["applied_ranges"]), default=0)
+        _record_commit_range(props, commit_rel, [0, hi], files, delta_files)
 
         self._write_manifest(
             {
@@ -395,6 +530,10 @@ class LakeTable:
             props["batch_ids"] = props.get("batch_ids", []) + [batch_id]
         if extra_properties:
             props.update(extra_properties)
+        # a delta commit contains ONLY the batch's winner rows, so its LSN
+        # span is exactly the applied range — the tight bound that lets an
+        # incremental reader catching up from LSN X skip every older delta
+        _record_commit_range(props, commit_rel, applied_range, m["files"], delta_files)
 
         self._write_manifest(
             {
@@ -460,6 +599,7 @@ class LakeTable:
         m = self.manifest()
         version = m["version"] + 1
         props = dict(m.get("properties", {}))
+        props["commit_lsn_ranges"] = {}  # no files -> no live commit dirs
         if at_lsn is not None:
             props["table_ops_lsn"] = max(int(at_lsn), int(props.get("table_ops_lsn", -1)))
         if batch_id is not None:

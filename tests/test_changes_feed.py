@@ -1,0 +1,177 @@
+"""CDC-out change feed (``LakeTable.read_changes``): net-changes
+correctness incl. deletes, incremental-consumer equivalence (state + feed
+= next state), bounded-window historical reads, and the per-commit LSN
+range bookkeeping that prunes old commits driver-side.
+
+The feed is the Delta-CDF / Iceberg-incremental-scan analogue of the
+surface estuary serves downstream via its Kafka topic
+(``kafka/KafkaSinkFunc.scala`` in /root/reference) — here the lake table
+itself is the feed source.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from estuary_spark.config import SyncConfig
+from estuary_spark.generator import LogSpec, read_log, write_log
+from estuary_spark.maintenance import compact
+from estuary_spark.runner import run_sync
+from estuary_spark.tables import LakeTable
+
+
+def _mk_cfg(tmpdir_path, **kw):
+    return SyncConfig(
+        source_log_dir=os.path.join(tmpdir_path, "log"),
+        target_table_dir=os.path.join(tmpdir_path, "t"),
+        n_buckets=8,
+        **kw,
+    )
+
+
+def _expected_changes(log_df, start, end=None):
+    """Reference statement of the feed: per key, the winner among events
+    with lsn <= end; emitted iff its lsn >= start; delete -> 'delete'."""
+    ev = log_df if end is None else log_df.filter(F.col("lsn") <= end)
+    value_cols = [
+        c for c in ev.columns if c not in ("lsn", "op", "commit_ts", "txn_id", "schema_ver")
+    ]
+    payload = [c for c in value_cols if c not in ("conv_id", "turn_idx")]
+    w = (
+        ev.groupBy("conv_id", "turn_idx")
+        .agg(F.max_by(F.struct(*payload, "op", "lsn"), F.col("lsn")).alias("w"))
+        .select("conv_id", "turn_idx", "w.*")
+        .filter(F.col("lsn") >= start)
+    )
+    return {
+        (r["conv_id"], r["turn_idx"]): (
+            r["text"],
+            r["lsn"],
+            "delete" if r["op"] == "delete" else "upsert",
+        )
+        for r in w.collect()
+    }
+
+
+def _got_changes(df):
+    return {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r["_change_lsn"], r["_change_type"])
+        for r in df.collect()
+    }
+
+
+def _run_mor(spark, tmpdir_path, spec, **cfg_kw):
+    write_log(spark, LogSpec(**spec), os.path.join(tmpdir_path, "log"))
+    cfg = _mk_cfg(tmpdir_path, write_mode="mor", **cfg_kw)
+    run_sync(spark, cfg, events_per_batch=400)
+    return cfg, read_log(spark, cfg.source_log_dir)
+
+
+def test_changes_feed_net_semantics(spark, tmpdir_path):
+    """Catch-up from the log midpoint: one row per changed key, latest
+    payload, winning LSN, delete emitted as 'delete' — across delta files
+    AND a mid-run compaction (tombstones survive compaction)."""
+    cfg, log = _run_mor(
+        spark, tmpdir_path, dict(n_convs=50, max_turns=8, seed=31), compact_every=3
+    )
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+    cut = (int(lo) + int(hi)) // 2
+
+    got = _got_changes(LakeTable(cfg.target_table_dir).read_changes(spark, start_lsn=cut))
+    exp = _expected_changes(log, cut)
+    assert got == exp
+    assert any(v[2] == "delete" for v in got.values()), "log produced no deletes to verify"
+
+
+def test_changes_feed_incremental_consumer(spark, tmpdir_path):
+    """Completeness: a consumer holding the state as of `cut` who applies
+    the feed (upserts overwrite, deletes remove) lands exactly on the
+    table's current state — nothing missed, nothing extra."""
+    cfg, log = _run_mor(
+        spark, tmpdir_path, dict(n_convs=40, max_turns=8, seed=37), compact_every=0
+    )
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+    cut = (int(lo) + int(hi)) // 2
+
+    t = LakeTable(cfg.target_table_dir)
+    # consumer state as of cut (exclusive): winners among events < cut
+    state = {
+        k: v for k, v in _expected_changes(log, 0, end=cut - 1).items() if v[2] != "delete"
+    }
+    for k, (text, lsn, typ) in _got_changes(t.read_changes(spark, start_lsn=cut)).items():
+        if typ == "delete":
+            state.pop(k, None)
+        else:
+            state[k] = (text, lsn, "upsert")
+
+    current = {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r["_lsn"], "upsert")
+        for r in t.read(spark).collect()
+    }
+    assert state == current
+
+
+def test_changes_feed_bounded_window(spark, tmpdir_path):
+    """end_lsn bound on an uncompacted table: the feed reproduces the
+    state-as-of-end for every key changed in [start, end]. History is
+    retained at BATCH granularity (a batch's intermediate versions are
+    pre-folded by LWW before commit), so end is exact at a commit
+    boundary — taken here from the manifest's per-commit ranges."""
+    cfg, log = _run_mor(
+        spark, tmpdir_path, dict(n_convs=40, max_turns=8, seed=41), compact_every=0
+    )
+    t = LakeTable(cfg.target_table_dir)
+    ranges = t.manifest()["properties"]["commit_lsn_ranges"]
+    his = sorted(r[1] for d, r in ranges.items() if "delta-" in d)
+    end = his[len(his) // 2]  # a mid-run batch boundary
+
+    got = _got_changes(t.read_changes(spark, start_lsn=0, end_lsn=end))
+    assert got == _expected_changes(log, 0, end=end)
+
+
+def test_changes_feed_prunes_old_commits(spark, tmpdir_path):
+    """Driver-side pruning: a catch-up read over the tail of the log must
+    not open delta files from commits entirely below start_lsn (checked
+    via the scan's inputFiles), and per-delta-commit manifest ranges are
+    exactly the applied batch ranges."""
+    cfg, log = _run_mor(
+        spark, tmpdir_path, dict(n_convs=50, max_turns=8, seed=43), compact_every=0
+    )
+    t = LakeTable(cfg.target_table_dir)
+    ranges = t.manifest()["properties"]["commit_lsn_ranges"]
+    deltas = {d: r for d, r in ranges.items() if "delta-" in d}
+    assert len(deltas) >= 3, "need several delta commits to make pruning observable"
+    # every delta commit's recorded range is one of the applied batch ranges
+    hi = int(log.agg(F.max("lsn")).first()[0])
+    cut = max(r[0] for r in deltas.values())  # start of the newest batch
+
+    feed = t.read_changes(spark, start_lsn=cut)
+    opened = set(feed.inputFiles())
+    for d, r in deltas.items():
+        files_of_d = {f for f in opened if d in f}
+        if r[1] < cut:
+            assert not files_of_d, f"commit {d} (range {r}) below start was opened"
+    # pruning never costs correctness
+    assert _got_changes(feed) == _expected_changes(log, cut)
+    assert hi >= cut
+
+
+def test_commit_range_bookkeeping_compaction(spark, tmpdir_path):
+    """Compaction rewrites history into new base files: its commit range
+    is the conservative [0, max applied hi], and range entries for
+    dropped delta dirs leave the map (O(live commits), not O(history))."""
+    cfg, log = _run_mor(
+        spark, tmpdir_path, dict(n_convs=30, max_turns=6, seed=47), compact_every=0
+    )
+    t = LakeTable(cfg.target_table_dir)
+    before = t.manifest()["properties"]["commit_lsn_ranges"]
+    assert any("delta-" in d for d in before)
+
+    compact(spark, t, max_files_per_bucket=10**9, max_delta_files_per_bucket=0)
+    after = t.manifest()["properties"]["commit_lsn_ranges"]
+    assert not any("delta-" in d for d in after), "dead delta dirs kept in range map"
+    hi = int(log.agg(F.max("lsn")).first()[0])
+    assert [0, hi] in list(after.values())
+
+    # a post-compaction catch-up beyond the table head reads nothing
+    assert t.read_changes(spark, start_lsn=hi + 1).count() == 0
