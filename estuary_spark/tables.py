@@ -34,9 +34,10 @@ from __future__ import annotations
 
 import json
 import os
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from estuary_spark.fileio import FileIO, LocalFileIO
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
@@ -96,21 +97,26 @@ def _merge_ranges(ranges: list[list[int]]) -> list[list[int]]:
 
 
 class LakeTable:
-    """A bucketed, snapshot-versioned parquet table."""
+    """A bucketed, snapshot-versioned parquet table.
 
-    def __init__(self, root: str):
+    ``io`` is the metadata-storage seam (``fileio.FileIO``): all manifest
+    reads/publishes, directory listings, and file deletions go through it,
+    so the atomic-commit primitive can be swapped for an object-store
+    conditional put without touching table logic (data files are written
+    by Spark and referenced by manifests — they never need the seam)."""
+
+    def __init__(self, root: str, io: FileIO | None = None):
         self.root = root
         self._mdir = os.path.join(root, MANIFEST_DIR)
+        self.io = io if io is not None else LocalFileIO()
 
     # ---------------------------------------------------------- snapshots
 
     def versions(self) -> list[int]:
         """All snapshot versions still present, ascending."""
-        if not os.path.isdir(self._mdir):
-            return []
         return sorted(
             int(f[1:-5])
-            for f in os.listdir(self._mdir)
+            for f in self.io.list_dir(self._mdir)
             if f.startswith("v") and f.endswith(".json")
         )
 
@@ -121,8 +127,7 @@ class LakeTable:
         v = self.current_version() if version is None else version
         if v < 0:
             raise FileNotFoundError(f"no snapshots in {self.root}")
-        with open(os.path.join(self._mdir, f"v{v:010d}.json")) as fh:
-            return json.load(fh)
+        return json.loads(self.io.read_text(os.path.join(self._mdir, f"v{v:010d}.json")))
 
     def exists(self) -> bool:
         return self.current_version() >= 0
@@ -144,12 +149,18 @@ class LakeTable:
     # ------------------------------------------------------------ create
 
     @staticmethod
-    def create(root: str, schema: T.StructType, n_buckets: int, key_cols: list[str]) -> "LakeTable":
+    def create(
+        root: str,
+        schema: T.StructType,
+        n_buckets: int,
+        key_cols: list[str],
+        io: FileIO | None = None,
+    ) -> "LakeTable":
         """Create an empty table (snapshot v0). Schema is user columns only;
         ``_lsn`` and ``_bucket`` system columns are appended automatically."""
-        t = LakeTable(root)
-        os.makedirs(t._mdir, exist_ok=True)
-        os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
+        t = LakeTable(root, io=io)
+        t.io.makedirs(t._mdir)
+        t.io.makedirs(os.path.join(root, DATA_DIR))
         full = T.StructType(list(schema.fields))
         if LSN_COL not in full.names:
             full = full.add(LSN_COL, T.LongType())
@@ -175,15 +186,12 @@ class LakeTable:
 
     def _write_manifest(self, m: dict) -> None:
         v = m["version"]
-        tmp = os.path.join(self._mdir, f".tmp-{uuid.uuid4().hex}.json")
         final = os.path.join(self._mdir, f"v{v:010d}.json")
-        if os.path.exists(final):
+        try:
+            # the atomic put-if-absent commit point (fileio.FileIO contract)
+            self.io.publish_text(final, json.dumps(m))
+        except FileExistsError:
             raise RuntimeError(f"snapshot v{v} already exists (concurrent writer?)")
-        with open(tmp, "w") as fh:
-            json.dump(m, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.rename(tmp, final)  # atomic commit point
 
     # -------------------------------------------------------------- read
 
@@ -422,14 +430,14 @@ class LakeTable:
         # collect produced files per bucket from the filesystem (driver-side
         # listing is O(#touched buckets), not O(rows))
         new_files: dict[str, list[str]] = {}
-        for entry in os.listdir(commit_dir):
+        for entry in self.io.list_dir(commit_dir):
             if not entry.startswith("_bp="):
                 continue
             b = str(int(entry.split("=", 1)[1]))
             bdir = os.path.join(commit_dir, entry)
             new_files[b] = [
                 os.path.join(commit_rel, entry, f)
-                for f in os.listdir(bdir)
+                for f in self.io.list_dir(bdir)
                 if f.endswith(".parquet")
             ]
 
@@ -510,14 +518,14 @@ class LakeTable:
         out.write.partitionBy("_bp").mode("overwrite").parquet(commit_dir)
 
         delta_files = {b: list(fl) for b, fl in m.get("delta_files", {}).items()}
-        for entry in os.listdir(commit_dir):
+        for entry in self.io.list_dir(commit_dir):
             if not entry.startswith("_bp="):
                 continue
             b = str(int(entry.split("=", 1)[1]))
             bdir = os.path.join(commit_dir, entry)
             delta_files.setdefault(b, []).extend(
                 os.path.join(commit_rel, entry, f)
-                for f in os.listdir(bdir)
+                for f in self.io.list_dir(bdir)
                 if f.endswith(".parquet")
             )
 
@@ -675,11 +683,11 @@ class LakeTable:
             doomed |= self._referenced_files(self.manifest(v))
         files_removed = 0
         for p in sorted(doomed - live):
-            if os.path.exists(p):
-                os.remove(p)
+            if self.io.exists(p):
+                self.io.delete(p)
                 files_removed += 1
         for v in expired:
-            os.remove(os.path.join(self._mdir, f"v{v:010d}.json"))
+            self.io.delete(os.path.join(self._mdir, f"v{v:010d}.json"))
         return {"snapshots_removed": len(expired), "files_removed": files_removed}
 
     def vacuum(self) -> int:
@@ -689,10 +697,9 @@ class LakeTable:
         live = self._referenced_files(self.manifest())
         removed = 0
         droot = os.path.join(self.root, DATA_DIR)
-        for dirpath, _dirnames, filenames in os.walk(droot):
-            for fn in filenames:
-                p = os.path.join(dirpath, fn)
-                if p not in live and (fn.endswith(".parquet") or fn.startswith("_")):
-                    os.remove(p)
-                    removed += 1
+        for p in self.io.walk_files(droot):
+            fn = os.path.basename(p)
+            if p not in live and (fn.endswith(".parquet") or fn.startswith("_")):
+                self.io.delete(p)
+                removed += 1
         return removed
