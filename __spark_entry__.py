@@ -177,6 +177,52 @@ FROM w WHERE rn = 1 AND lsn >= (SELECT s FROM cut)
 """
 
 
+def q_incremental_transcript_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-driven incremental maintenance end-to-end: a consumer
+    snapshots turn-level state at a mid-run commit boundary
+    (``read_changes(0, end)``), then catches up by applying the net feed
+    since that boundary with ``operators.changes.apply_changes`` —
+    O(changed keys), no table re-scan — and aggregates per-conversation
+    stats. Matching the one-shot full-fold aggregate oracle proves
+    state + feed = recompute, the contract that makes the change feed a
+    substitute for re-reading a 100 TB table."""
+    from estuary_spark.config import SyncConfig
+    from estuary_spark.operators.changes import apply_changes
+    from estuary_spark.runner import run_sync
+    from estuary_spark.tables import LakeTable
+
+    work = tempfile.mkdtemp(prefix="estuary-gate-incr-")
+    log_dir = os.path.join(work, "log")
+    _derive_cdc_log(spark, sf_dir).repartitionByRange(4, "lsn").write.parquet(log_dir)
+    cfg = SyncConfig(
+        source_log_dir=log_dir,
+        target_table_dir=os.path.join(work, "table"),
+        n_buckets=8,
+        envelope_cols=("lsn", "op"),
+        write_mode="mor",
+        compact_every=0,
+    )
+    run_sync(spark, cfg, events_per_batch=2000)
+    t = LakeTable(cfg.target_table_dir)
+    his = sorted(
+        r[1]
+        for d, r in t.manifest()["properties"]["commit_lsn_ranges"].items()
+        if "delta-" in d
+    )
+    boundary = his[len(his) // 2]  # a mid-run batch commit boundary
+
+    state0 = t.read_changes(spark, 0, end_lsn=boundary).filter(
+        F.col("_change_type") == "upsert"
+    )
+    feed = t.read_changes(spark, boundary + 1)
+    state1 = apply_changes(state0, feed, ["conv_id", "turn_idx"], broadcast_feed=True)
+    return state1.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.max("_change_lsn").alias("max_lsn"),
+    )
+
+
 def q_cdc_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table sync end-to-end: one log carrying three source tables,
     regex whitelist drops db2.*, SDA rename maps db1.conv_b ->
@@ -687,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_fold_engine": q_cdc_fold_engine,
         "cdc_fold_engine_mor": q_cdc_fold_engine_mor,
         "cdc_changes_feed": q_cdc_changes_feed,
+        "incremental_transcript_stats": q_incremental_transcript_stats,
         "cdc_multi_table": q_cdc_multi_table,
         "cdc_multi_table_ops": q_cdc_multi_table_ops,
         "cdc_fold_streaming": q_cdc_fold_streaming,
@@ -721,6 +768,15 @@ def oracle_sql() -> dict[str, str]:
         "cdc_fold_engine": _CDC_ORACLE_FOLD,
         "cdc_fold_engine_mor": _CDC_ORACLE_FOLD,
         "cdc_changes_feed": _CDC_CHANGES_ORACLE,
+        "incremental_transcript_stats": f"""
+            WITH fold AS ({_CDC_ORACLE_FOLD})
+            SELECT conv_id,
+                   COUNT(*) AS n_turns,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+                   MAX(_lsn) AS max_lsn
+            FROM fold
+            GROUP BY conv_id
+        """,
         "cdc_multi_table": _CDC_MULTI_ORACLE,
         "cdc_multi_table_ops": _CDC_MULTI_OPS_ORACLE,
         "cdc_fold_streaming": _CDC_ORACLE_FOLD,

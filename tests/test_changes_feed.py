@@ -156,6 +156,41 @@ def test_changes_feed_prunes_old_commits(spark, tmpdir_path):
     assert hi >= cut
 
 
+def test_apply_changes_operator(spark, tmpdir_path):
+    """operators.changes.apply_changes: state snapshotted at a commit
+    boundary + the net feed since it = the table's current state —
+    upserts replace, deletes remove, untouched keys pass through."""
+    from estuary_spark.operators.changes import apply_changes
+
+    cfg, log = _run_mor(
+        spark, tmpdir_path, dict(n_convs=40, max_turns=8, seed=53), compact_every=0
+    )
+    t = LakeTable(cfg.target_table_dir)
+    his = sorted(
+        r[1]
+        for d, r in t.manifest()["properties"]["commit_lsn_ranges"].items()
+        if "delta-" in d
+    )
+    boundary = his[len(his) // 2]
+
+    state0 = t.read_changes(spark, 0, end_lsn=boundary).filter(
+        F.col("_change_type") == "upsert"
+    )
+    feed = t.read_changes(spark, boundary + 1)
+    assert feed.filter(F.col("_change_type") == "delete").count() > 0
+    state1 = apply_changes(state0, feed, ["conv_id", "turn_idx"], broadcast_feed=True)
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r["_change_lsn"])
+        for r in state1.collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r["_lsn"])
+        for r in t.read(spark).collect()
+    }
+    assert got == want
+
+
 def test_commit_range_bookkeeping_compaction(spark, tmpdir_path):
     """Compaction rewrites history into new base files: its commit range
     is the conservative [0, max applied hi], and range entries for
