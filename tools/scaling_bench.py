@@ -22,11 +22,15 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(args: list[str], env_extra: dict | None = None) -> dict:
+def run_bench(args: list[str], env_extra: dict | None = None, cpuset: str | None = None) -> dict:
     env = dict(os.environ)
     env.update(env_extra or {})
+    # cpuset: pin the whole JVM (and its GC/shuffle threads) to an explicit
+    # core set so the two levels can't migrate across each other's cores
+    # mid-run and scheduler placement noise is excluded from the comparison
+    prefix = ["taskset", "-c", cpuset] if cpuset else []
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"), *args],
+        [*prefix, sys.executable, os.path.join(REPO, "bench.py"), *args],
         capture_output=True,
         text=True,
         cwd=REPO,
@@ -50,6 +54,11 @@ def main() -> None:
     ap.add_argument("--epb", type=int, default=29_000_000,
                     help="events per micro-batch (production 10^10-event runs batch >= 10^7)")
     ap.add_argument("--mode", default="mor", choices=("mor", "cow"), help="merge strategy")
+    ap.add_argument(
+        "--pin",
+        action="store_true",
+        help="taskset-pin each level to cores 0-(cpus-1) (excludes scheduler placement noise)",
+    )
     args = ap.parse_args()
 
     # bench state lives on tmpfs: a real cluster has distributed disks; a
@@ -86,7 +95,8 @@ def main() -> None:
     results = {args.low: None, args.high: None}
     for i in range(args.runs):
         for cpus in (args.low, args.high):
-            r = run_bench(["--apply-only", "--warmup", "--cpus", str(cpus)], env)
+            cpuset = f"0-{cpus - 1}" if args.pin else None
+            r = run_bench(["--apply-only", "--warmup", "--cpus", str(cpus)], env, cpuset=cpuset)
             print(f"local[{cpus}] run {i}: {r}", flush=True)
             best = results[cpus]
             if best is None or r["events_per_sec"] > best["events_per_sec"]:
