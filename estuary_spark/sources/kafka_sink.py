@@ -73,6 +73,8 @@ def kafka_key_value(
     task_id: str,
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     num_partitions: int | None = None,
+    tombstone_deletes: bool = False,
+    op_col: str = "op",
     **key_kwargs,
 ) -> DataFrame:
     """Project a change-event DataFrame to the Kafka sink's message columns.
@@ -92,10 +94,18 @@ def kafka_key_value(
       ``hash(pk) % num_partitions``, for deployments that pin the mapping
       independent of the producer's partitioner (the reference's
       MultipleJsonKeyPartitionerJava shape).
+
+    ``tombstone_deletes=True`` emits deletes as Kafka tombstones (NULL
+    value, key kept) — the log-compaction convention, so a compacted
+    topic converges to exactly the table's live state. Use for feeds
+    destined to compacted topics; leave off when downstream wants the
+    delete event's payload.
     """
     pk = F.concat_ws("@", *[F.col(c).cast("string") for c in key_cols])
     lineage = kafka_message_key(df.columns, task_id, **key_kwargs)
     value = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    if tombstone_deletes:
+        value = F.when(F.col(op_col) == "delete", F.lit(None).cast("string")).otherwise(value)
     headers = F.array(
         F.struct(
             F.lit("lineage").alias("key"),
@@ -108,6 +118,33 @@ def kafka_key_value(
             F.pmod(F.xxhash64(pk), F.lit(num_partitions)).cast("int").alias("partition")
         )
     return df.select(*cols)
+
+
+def changes_kafka_frame(
+    feed_df: DataFrame,
+    task_id: str,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    change_lsn_col: str = "_change_lsn",
+    change_type_col: str = "_change_type",
+    tombstone_deletes: bool = True,
+    **kv_kwargs,
+) -> DataFrame:
+    """Adapt a change feed (``LakeTable.read_changes`` or
+    ``streaming.changes.stream_changes``) to the Kafka message surface:
+    the feed's change columns become the envelope's lsn/op, then the
+    standard key/value/headers projection applies. Composed with
+    ``write_stream_kafka`` this is the full estuary downstream pipeline —
+    lake table -> change stream -> keyed Kafka topic
+    (``kafka/KafkaSinkFunc.scala`` + ``BaseDataJsonKey`` in
+    /root/reference) — with deletes as log-compaction tombstones by
+    default, so a compacted topic converges to the table's live state.
+    """
+    ev = feed_df.withColumnRenamed(change_lsn_col, "lsn").withColumnRenamed(
+        change_type_col, "op"
+    )
+    return kafka_key_value(
+        ev, task_id, key_cols=key_cols, tombstone_deletes=tombstone_deletes, **kv_kwargs
+    )
 
 
 def write_stream_kafka(

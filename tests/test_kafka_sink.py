@@ -86,3 +86,45 @@ def test_kafka_table_col_routing(spark):
     )
     out = kafka_key_value(df, task_id="t", table_col="src_table").collect()[0]
     assert _lineage(out)["tableName"] == "db1.conv_a"
+
+
+def test_changes_feed_to_kafka_tombstones(spark, tmpdir_path):
+    """changes_kafka_frame: a real table's change feed becomes keyed Kafka
+    messages — deletes as log-compaction tombstones (NULL value, key
+    kept), upserts carrying the payload, lineage header LSN = the change
+    LSN — so a compacted topic converges to the table's live state."""
+    import os
+
+    from estuary_spark.config import SyncConfig
+    from estuary_spark.generator import LogSpec, write_log
+    from estuary_spark.runner import run_sync
+    from estuary_spark.sources.kafka_sink import changes_kafka_frame
+    from estuary_spark.tables import LakeTable
+
+    log_dir = os.path.join(tmpdir_path, "log")
+    write_log(spark, LogSpec(n_convs=30, max_turns=6, seed=67), log_dir)
+    cfg = SyncConfig(
+        source_log_dir=log_dir,
+        target_table_dir=os.path.join(tmpdir_path, "t"),
+        n_buckets=8,
+        write_mode="mor",
+    )
+    run_sync(spark, cfg, events_per_batch=400)
+    feed = LakeTable(cfg.target_table_dir).read_changes(spark, 0)
+    msgs = changes_kafka_frame(feed, task_id="feed-1").collect()
+    assert msgs
+
+    feed_rows = {
+        (r["conv_id"], r["turn_idx"]): r for r in feed.collect()
+    }
+    assert any(r["_change_type"] == "delete" for r in feed_rows.values())
+    by_key = {r["key"]: r for r in msgs}
+    for (conv, turn), fr in feed_rows.items():
+        m = by_key[f"{conv}@{turn}"]
+        lin = _lineage(m)
+        assert lin["syncTaskSequence"] == fr["_change_lsn"]
+        assert lin["eventType"] == fr["_change_type"]
+        if fr["_change_type"] == "delete":
+            assert m["value"] is None  # tombstone
+        else:
+            assert json.loads(m["value"])["text"] == fr["text"]
