@@ -205,6 +205,77 @@ def main() -> None:
             )
         )
 
+    # ---- 7. CDC-out change feed: driver-side commit pruning + pushed LSN
+    # bounds + one fold shuffle; and the consumer-side apply_changes as a
+    # broadcast anti-join (no state shuffle in the catch-up case)
+    from estuary_spark.config import SyncConfig
+    from estuary_spark.generator import LogSpec, write_log
+    from estuary_spark.operators.changes import apply_changes
+    from estuary_spark.runner import run_sync
+    from estuary_spark.tables import LakeTable
+
+    cwork = tempfile.mkdtemp(prefix="audit-changes-")
+    write_log(spark, LogSpec(n_convs=40, max_turns=6, seed=61), os.path.join(cwork, "log"))
+    ccfg = SyncConfig(
+        source_log_dir=os.path.join(cwork, "log"),
+        target_table_dir=os.path.join(cwork, "t"),
+        n_buckets=8,
+        write_mode="mor",
+        compact_every=0,
+    )
+    run_sync(spark, ccfg, events_per_batch=300)
+    ct = LakeTable(ccfg.target_table_dir)
+    chis = sorted(
+        r[1]
+        for d, r in ct.manifest()["properties"]["commit_lsn_ranges"].items()
+        if "delta-" in d
+    )
+    cut = chis[len(chis) // 2]
+    feed = ct.read_changes(spark, start_lsn=cut + 1)
+    n_total = sum(
+        len(fl)
+        for kind in ("files", "delta_files")
+        for fl in ct.manifest().get(kind, {}).values()
+    )
+    n_opened = len(set(feed.inputFiles()))
+    p = formatted_plan(feed)
+    checks = grade(
+        p,
+        [
+            ("LSN lower bound pushed to scan", "GreaterThanOrEqual(_lsn", True),
+            ("single fold aggregate (max_by), no join", ("max_by", "SortAggregate", "HashAggregate"), True),
+            # max_by with a struct buffer falls back to SortAggregate
+            # (var-width agg buffer) — a PER-PARTITION sort of the pruned
+            # O(changed rows) input. The scale killer would be a GLOBAL
+            # sort (rangepartitioning exchange); assert its absence.
+            ("no global sort exchange", "rangepartitioning", False),
+        ],
+    )
+    checks.append(
+        f"  - {'PASS' if n_opened < n_total else 'MISS'}: commit pruning opened "
+        f"{n_opened}/{n_total} live files for a tail catch-up"
+    )
+    sections.append(("CDC-out change feed (read_changes, tail catch-up)", p, checks))
+
+    state0 = ct.read_changes(spark, 0, end_lsn=cut).filter(F.col("_change_type") == "upsert")
+    p = formatted_plan(
+        apply_changes(state0, feed, ["conv_id", "turn_idx"], broadcast_feed=True)
+    )
+    sections.append(
+        (
+            "Consumer apply_changes (broadcast catch-up)",
+            p,
+            grade(
+                p,
+                [
+                    ("broadcast anti-join", "BroadcastHashJoin", True),
+                    ("anti semantics", "LeftAnti", True),
+                    ("no state shuffle join", "SortMergeJoin", False),
+                ],
+            ),
+        )
+    )
+
     # ---- render
     lines = [
         "# PLANS — physical-plan audit evidence",
