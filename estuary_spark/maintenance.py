@@ -62,8 +62,19 @@ def purge_tombstones(spark: SparkSession, table: LakeTable, watermark_lsn: int) 
     purgeable = full.filter(
         F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col(LSN_COL) < watermark_lsn)
     )
+    # the watermark is a retention floor for the change feed (deletes below
+    # it are no longer observable) — record it monotonically even when
+    # nothing is purged, so read_changes can refuse incomplete feeds
+    prev = int(table.properties().get("tombstone_purge", {}).get("watermark_lsn", 0))
+    watermark_lsn = max(int(watermark_lsn), prev)
     buckets = [r["b"] for r in purgeable.select(F.col(BUCKET_COL).alias("b")).distinct().collect()]
     if not buckets:
+        if watermark_lsn > prev:
+            table.commit_metadata(
+                extra_properties={
+                    "tombstone_purge": {"watermark_lsn": watermark_lsn, "purged": 0}
+                }
+            )
         return 0
     scoped = table.read(spark, buckets=buckets, include_tombstones=True)
     purge_flag = F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col(LSN_COL) < watermark_lsn)

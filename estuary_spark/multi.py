@@ -321,3 +321,41 @@ def read_final_state_multi(spark: SparkSession, cfg: SyncConfig) -> DataFrame:
         df = t.read(spark).drop(BUCKET_COL).withColumn(DST_COL, F.lit(dst))
         out = df if out is None else out.unionByName(df, allowMissingColumns=True)
     return out
+
+
+def read_changes_multi(
+    spark: SparkSession,
+    cfg: SyncConfig,
+    start_lsn: int,
+    end_lsn: int | None = None,
+    **kw,
+) -> DataFrame:
+    """Net change feed across every destination table of a multi-table
+    sync, tagged with ``_dst_table`` — one subscription surface for a
+    consumer mirroring the whole routed set (estuary routes all tables of
+    one task into one Kafka topic keyed ``$db@$tb@pk``,
+    ``mysql/lifecycle/package.scala:100-131``; here the per-table feeds
+    union by name, with the same per-commit LSN-range pruning each table
+    provides). The global LSN order is shared — the multi-table runner
+    plans batches over one log — so one ``start_lsn`` is a consistent
+    position for every table."""
+    root = cfg.target_table_dir
+    dsts = sorted(
+        d
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+        if LakeTable(os.path.join(root, d)).exists()
+    )
+    if not dsts:
+        raise FileNotFoundError(
+            f"no destination tables under {root!r} — either no sync has run "
+            "yet or the table filter/blacklist matched nothing"
+        )
+    out = None
+    for dst in dsts:
+        ch = (
+            LakeTable(os.path.join(root, dst))
+            .read_changes(spark, start_lsn, end_lsn=end_lsn, **kw)
+            .withColumn(DST_COL, F.lit(dst))
+        )
+        out = ch if out is None else out.unionByName(ch, allowMissingColumns=True)
+    return out

@@ -85,6 +85,17 @@ def _record_commit_range(
     props["commit_lsn_ranges"] = {d: r for d, r in rng.items() if d in live}
 
 
+class FeedRetentionError(RuntimeError):
+    """A change feed was requested from before the tombstone-purge
+    watermark: deletes below it have been physically removed, so the feed
+    would silently miss them. Either start at/after the watermark, pass
+    ``allow_incomplete=True`` (upserts-only semantics), or re-bootstrap
+    the consumer from a full snapshot read. The analogue of resuming a
+    CDC subscription below the log retention floor
+    (``LogPositionHandler.scala:195-205`` in /root/reference — same
+    contract, enforced the same way as checkpoint.LogRetentionError)."""
+
+
 def _merge_ranges(ranges: list[list[int]]) -> list[list[int]]:
     """Merge overlapping/adjacent [lo, hi] (inclusive) ranges."""
     out: list[list[int]] = []
@@ -303,6 +314,7 @@ class LakeTable:
         version: int | None = None,
         change_lsn_col: str = "_change_lsn",
         change_type_col: str = "_change_type",
+        allow_incomplete: bool = False,
     ) -> DataFrame:
         """Net change feed (CDC-out): one row per key whose state changed
         in ``[start_lsn, end_lsn]`` (``end_lsn=None`` = up to the current
@@ -332,11 +344,13 @@ class LakeTable:
         entries. The remaining scan carries the pushed LSN predicates for
         row-group pruning inside any file that does overlap.
 
-        Retention contract: ``maintenance.purge_tombstones(watermark)``
-        physically drops delete markers below the watermark, so a feed
-        read with ``start_lsn`` below the purge watermark may miss
-        deletes — same contract as any CDC log retention (estuary's
-        binlog retention floor, ``LogPositionHandler.scala:195-205``).
+        Retention contract (ENFORCED): ``maintenance.purge_tombstones``
+        physically drops delete markers below its watermark, so a feed
+        read with ``start_lsn`` below the recorded watermark would
+        silently miss deletes — that raises :class:`FeedRetentionError`
+        unless ``allow_incomplete=True`` (same contract as any CDC log
+        retention; estuary's binlog retention floor,
+        ``LogPositionHandler.scala:195-205``).
         With ``end_lsn`` set, history resolves at COMMIT granularity:
         a batch's intermediate versions are pre-folded by LWW before
         commit, and compaction further folds superseded versions away —
@@ -346,6 +360,16 @@ class LakeTable:
         if end_lsn is not None and end_lsn < start_lsn:
             raise ValueError(f"end_lsn {end_lsn} < start_lsn {start_lsn}")
         m = self.manifest(version)
+        floor = int(
+            m.get("properties", {}).get("tombstone_purge", {}).get("watermark_lsn", 0)
+        )
+        if start_lsn < floor and not allow_incomplete:
+            raise FeedRetentionError(
+                f"change feed from lsn {start_lsn} precedes the tombstone-purge "
+                f"watermark {floor}: deletes in [{start_lsn}, {floor}) are gone. "
+                f"Start at >= {floor}, re-bootstrap from a snapshot read, or pass "
+                f"allow_incomplete=True for upserts-only semantics."
+            )
         schema = T.StructType.fromJson(m["schema"])
         key_cols = m.get("key_cols", [])
         if columns is not None:

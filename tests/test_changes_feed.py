@@ -210,3 +210,74 @@ def test_commit_range_bookkeeping_compaction(spark, tmpdir_path):
 
     # a post-compaction catch-up beyond the table head reads nothing
     assert t.read_changes(spark, start_lsn=hi + 1).count() == 0
+
+
+def test_feed_retention_guard(spark, tmpdir_path):
+    """read_changes below the tombstone-purge watermark raises
+    FeedRetentionError (deletes are physically gone — a silent feed would
+    miss them); allow_incomplete opts into upserts-only semantics; the
+    watermark records monotonically even on a purge that removes nothing."""
+    import pytest
+
+    from estuary_spark.maintenance import compact, purge_tombstones
+    from estuary_spark.tables import FeedRetentionError
+
+    cfg, log = _run_mor(
+        spark, tmpdir_path, dict(n_convs=30, max_turns=6, seed=71), compact_every=0
+    )
+    t = LakeTable(cfg.target_table_dir)
+    hi = int(log.agg(F.max("lsn")).first()[0])
+    compact(spark, t, max_files_per_bucket=10**9, max_delta_files_per_bucket=0)
+    purge_tombstones(spark, t, watermark_lsn=hi + 1)
+    assert t.properties()["tombstone_purge"]["watermark_lsn"] == hi + 1
+
+    with pytest.raises(FeedRetentionError, match="tombstone-purge"):
+        t.read_changes(spark, 0)
+    # upserts-only escape hatch: same keys as the tombstone-free state
+    got = _got_changes(t.read_changes(spark, 0, allow_incomplete=True))
+    exp = {k: v for k, v in _expected_changes(log, 0).items() if v[2] != "delete"}
+    assert got == exp
+    # at/after the floor the guard does not fire
+    t.read_changes(spark, hi + 1).count()
+
+    # a lower watermark never regresses the floor
+    purge_tombstones(spark, t, watermark_lsn=5)
+    assert t.properties()["tombstone_purge"]["watermark_lsn"] == hi + 1
+
+
+def test_read_changes_multi(spark, tmpdir_path):
+    """Multi-table feed: per-destination net changes union under one
+    global LSN position, tagged _dst_table, rename map respected."""
+    from estuary_spark.multi import read_changes_multi, run_sync_multi
+
+    cols = ["lsn", "op", "src_table", "conv_id", "turn_idx", "text"]
+    rows = [
+        (1, "insert", "db1.conv_a", "c1", 0, "a-v1"),
+        (2, "insert", "db1.conv_b", "c1", 0, "b-v1"),
+        (3, "update", "db1.conv_a", "c1", 0, "a-v2"),
+        (4, "insert", "db1.conv_a", "c2", 1, "a2-v1"),
+        (5, "delete", "db1.conv_b", "c1", 0, None),
+    ]
+    spark.createDataFrame(rows, cols).repartitionByRange(2, "lsn").write.parquet(
+        os.path.join(tmpdir_path, "log")
+    )
+    cfg = SyncConfig(
+        source_log_dir=os.path.join(tmpdir_path, "log"),
+        target_table_dir=os.path.join(tmpdir_path, "tables"),
+        n_buckets=2,
+        envelope_cols=("lsn", "op"),
+        table_col="src_table",
+        table_renames={"db1.conv_b": "conv_b_renamed"},
+        write_mode="mor",
+    )
+    run_sync_multi(spark, cfg, events_per_batch=2)
+
+    got = {
+        (r["_dst_table"], r["conv_id"], r["turn_idx"]): (r["text"], r["_change_type"])
+        for r in read_changes_multi(spark, cfg, start_lsn=3).collect()
+    }
+    assert got == {
+        ("db1.conv_a", "c1", 0): ("a-v2", "upsert"),
+        ("db1.conv_a", "c2", 1): ("a2-v1", "upsert"),
+        ("conv_b_renamed", "c1", 0): (None, "delete"),
+    }
