@@ -292,6 +292,28 @@ def main() -> None:
                 else None
             ),
         }
+    # the round-3 pinned-cpuset experiment (BENCH/BASELINE.md "Round 3"):
+    # strict core isolation shows the engine at ~99.6% of the box's own
+    # shuffle-path ceiling — the raw number is the machine's shared-DRAM
+    # curve, not engine headroom
+    pinned = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_raw_r3_pinned.json"
+    )
+    if os.path.exists(pinned):
+        with open(pinned) as fh:
+            pr = json.load(fh)
+        pub = [r for r in pr["runs"] if r["run"] == "A0"]
+        lo = next(r for r in pub if r["cpus"] == 4)
+        hi = next(r for r in pub if r["cpus"] == 16)
+        eng = (hi["events_per_sec"] / lo["events_per_sec"])
+        ceil = lo["shuffle_probe_sec"] / hi["shuffle_probe_sec"]
+        out["scaling_pinned"] = {
+            "low_events_per_sec": lo["events_per_sec"],
+            "high_events_per_sec": hi["events_per_sec"],
+            "efficiency_raw": round(eng / 4, 3),
+            "pinned_shuffle_ceiling": round(ceil, 3),
+            "engine_vs_ceiling": round(eng / ceil, 3),
+        }
     print(json.dumps(out))
 
 
