@@ -28,13 +28,21 @@ from __future__ import annotations
 
 import os
 import time
+import dataclasses
 from dataclasses import dataclass
 
 _PROFILE = os.environ.get("ESTUARY_PROFILE", "") == "1"
 
 
-def _tick(label: str, t0: float) -> float:
+def _tick(label: str, t0: float, acc: dict | None = None) -> float:
+    """Phase boundary: always accumulates into ``acc`` (the M3 cost
+    profile returned on every BatchResult and recorded in the commit's
+    ``last_batch`` properties — estuary's per-stage cost instrumentation,
+    ``PowerAdapter.scala`` counters analogue); additionally prints when
+    ``ESTUARY_PROFILE=1``."""
     now = time.time()
+    if acc is not None:
+        acc[label] = round(acc.get(label, 0.0) + (now - t0) * 1000)
     if _PROFILE:
         print(f"    [apply {label}] {now - t0:.2f}s", flush=True)
     return now
@@ -56,6 +64,7 @@ def _apply_mor(
     tschema: T.StructType,
     user_cols: list[str],
     t0: float,
+    phases: dict,
 ) -> "BatchResult":
     """Merge-on-read apply: append the batch's LWW winners as delta files.
 
@@ -88,7 +97,7 @@ def _apply_mor(
         # touched buckets (driver result is O(buckets)); this action also
         # materializes the winners persist for the two later consumers
         touched = [int(r[BUCKET_COL]) for r in winners.select(BUCKET_COL).distinct().collect()]
-        _pt = _tick("mor-touched", _pt)
+        _pt = _tick("mor-touched", _pt, phases)
         if not touched:
             winners.unpersist()
             return BatchResult(batch_id, True, None, offset_range, [], int((time.time() - t0) * 1000))
@@ -167,7 +176,7 @@ def _apply_mor(
         }
         for r in agg_rows
     ]
-    _pt = _tick("mor-lineage", _pt)
+    _pt = _tick("mor-lineage", _pt, phases)
 
     if n_keys == 0:
         # empty batch (nothing survived the event-type filter)
@@ -233,16 +242,18 @@ def _apply_mor(
                 "offset_range": list(offset_range),
                 "upserted": sum(r["rows_upserted"] for r in lineage_rows),
                 "deleted": sum(r["rows_deleted"] for r in lineage_rows),
+                # M3: phase costs up to (not including) this commit
+                "phases_ms": dict(phases),
             }
         },
     )
-    _pt = _tick("mor-commit", _pt)
+    _pt = _tick("mor-commit", _pt, phases)
     winners.unpersist()
 
     wall = int((time.time() - t0) * 1000)
     for r in lineage_rows:
         r["wall_ms"] = wall
-    return BatchResult(batch_id, False, version, offset_range, lineage_rows, wall)
+    return BatchResult(batch_id, False, version, offset_range, lineage_rows, wall, phases)
 
 
 class SchemaTypeChangeError(ValueError):
@@ -270,6 +281,9 @@ class BatchResult:
     offset_range: tuple[int, int] | None
     lineage: list[dict]
     wall_ms: int
+    # M3 cost profile: per-phase milliseconds for this batch (always on;
+    # ESTUARY_PROFILE=1 additionally prints them live)
+    phases_ms: dict = dataclasses.field(default_factory=dict)
 
 
 def reconcile_schema(table: LakeTable, batch_df: DataFrame, cfg: SyncConfig) -> T.StructType:
@@ -331,6 +345,7 @@ def apply_batch(
     still produces zero new snapshots.
     """
     t0 = time.time()
+    phases: dict = {}
     key_cols = list(cfg.key_cols)
 
     if offset_range is None:
@@ -341,7 +356,7 @@ def apply_batch(
             return BatchResult(batch_id, True, None, None, [], int((time.time() - t0) * 1000))
         offset_range = (int(row["lo"]), int(row["hi"]))
 
-    _pt = _tick("offset-range", t0)
+    _pt = _tick("offset-range", t0, phases)
 
     # ---- exactly-once fast path: skip a fully-applied (replayed) range
     if check_applied_range and table.is_range_applied(*offset_range):
@@ -385,11 +400,11 @@ def apply_batch(
 
     if cfg.write_mode == "mor":
         return _apply_mor(
-            spark, table, winners, cfg, batch_id, offset_range, tschema, user_cols, t0
+            spark, table, winners, cfg, batch_id, offset_range, tschema, user_cols, t0, phases
         )
 
     touched = [r[BUCKET_COL] for r in winners.select(BUCKET_COL).distinct().collect()]
-    _pt = _tick("lww+touched", _pt)
+    _pt = _tick("lww+touched", _pt, phases)
     if not touched:
         winners.unpersist()
         return BatchResult(batch_id, True, None, offset_range, [], int((time.time() - t0) * 1000))
@@ -464,7 +479,7 @@ def apply_batch(
     from pyspark import StorageLevel
 
     merged = j.select(*sel).persist(StorageLevel.MEMORY_AND_DISK)
-    _pt = _tick("merge-plan", _pt)
+    _pt = _tick("merge-plan", _pt, phases)
 
     # ---- lineage (M1) aggregated from the persisted join; this action
     # materializes the join once, the commit write below re-reads the cache
@@ -494,7 +509,7 @@ def apply_batch(
         }
         for r in agg_rows
     ]
-    _pt = _tick("lineage-agg", _pt)
+    _pt = _tick("lineage-agg", _pt, phases)
 
     if n_wins == 0:
         # every source row lost the LSN guard: no data commit. True replay
@@ -527,14 +542,16 @@ def apply_batch(
                 "offset_range": list(offset_range),
                 "upserted": sum(r["rows_upserted"] for r in lineage_rows),
                 "deleted": sum(r["rows_deleted"] for r in lineage_rows),
+                # M3: phase costs up to (not including) this commit
+                "phases_ms": dict(phases),
             }
         },
     )
-    _pt = _tick("commit", _pt)
+    _pt = _tick("commit", _pt, phases)
     merged.unpersist()
     winners.unpersist()
 
     wall = int((time.time() - t0) * 1000)
     for r in lineage_rows:
         r["wall_ms"] = wall
-    return BatchResult(batch_id, False, version, offset_range, lineage_rows, wall)
+    return BatchResult(batch_id, False, version, offset_range, lineage_rows, wall, phases)

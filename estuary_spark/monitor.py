@@ -125,3 +125,58 @@ def stall_report(spark: SparkSession, out_dir: str, stale_after_s: float = 60.0)
         }
         for r in rows
     ]
+
+
+def write_status_json(
+    path: str,
+    table_dirs: str | list[str],
+    checkpoint_path: str | None = None,
+) -> dict:
+    """M4: dump the task's position + cost profile as one JSON document —
+    the analogue of the profiling/position JSON estuary's status registry
+    serves over REST (``core/lifecycle/SyncControllerMessages`` status
+    queries + ``ProcessingCounter.scala:10-66`` counters in
+    /root/reference; the REST transport itself is a declared non-goal,
+    SURVEY.md §7.5 — the DOCUMENT is the parity surface, consumable by
+    any external monitor tailing a file instead of an endpoint).
+
+    Per table: current snapshot version, the applied-position watermark
+    (max applied LSN), last_batch counters and per-phase costs (M3),
+    delta-chain pressure (buckets with uncompacted deltas), and the
+    retention floors. Plus the driver checkpoint, if any. The write is
+    atomic (temp + rename), so a monitor never reads a torn document.
+    """
+    from estuary_spark.tables import LakeTable
+
+    dirs = [table_dirs] if isinstance(table_dirs, str) else list(table_dirs)
+    tables = {}
+    for d in dirs:
+        t = LakeTable(d)
+        if not t.exists():
+            tables[d] = {"exists": False}
+            continue
+        props = t.properties()
+        ranges = props.get("applied_ranges", [])
+        tables[d] = {
+            "exists": True,
+            "version": t.current_version(),
+            "applied_lsn_hi": max((r[1] for r in ranges), default=None),
+            "applied_ranges": ranges,
+            "last_batch": props.get("last_batch"),
+            "delta_buckets": len(t.delta_buckets()),
+            "tombstone_purge_watermark": props.get("tombstone_purge", {}).get(
+                "watermark_lsn"
+            ),
+            "table_ops_lsn": props.get("table_ops_lsn"),
+        }
+    doc = {"ts": time.time(), "tables": tables}
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        with open(checkpoint_path) as fh:
+            doc["checkpoint"] = json.load(fh)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh, indent=2)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, path)
+    return doc

@@ -57,3 +57,47 @@ def test_lineage_invariants(spark, tmpdir_path):
     props = t.properties()
     assert props["applied_ranges"][0][0] == ranges[0][0]
     assert props["applied_ranges"][-1][1] == ranges[-1][1]
+
+
+def test_batch_phase_profile_and_status_json(spark, tmpdir_path):
+    """M3/M4: every BatchResult carries per-phase costs (always on), the
+    commit's last_batch property records them, and write_status_json dumps
+    one atomic position+profile document a monitor can tail."""
+    import json
+    import os
+
+    from estuary_spark.config import SyncConfig
+    from estuary_spark.generator import LogSpec, write_log
+    from estuary_spark.monitor import write_status_json
+    from estuary_spark.runner import run_sync
+    from estuary_spark.tables import LakeTable
+
+    log_dir = os.path.join(tmpdir_path, "log")
+    write_log(spark, LogSpec(n_convs=20, max_turns=5, seed=73), log_dir)
+    for mode, phases_expected in (
+        ("mor", {"offset-range", "mor-lineage", "mor-commit"}),
+        ("cow", {"offset-range", "lww+touched", "merge-plan", "lineage-agg", "commit"}),
+    ):
+        cfg = SyncConfig(
+            source_log_dir=log_dir,
+            target_table_dir=os.path.join(tmpdir_path, f"t_{mode}"),
+            checkpoint_path=os.path.join(tmpdir_path, f"ckpt_{mode}.json"),
+            n_buckets=4,
+            write_mode=mode,
+        )
+        run_sync(spark, cfg, events_per_batch=10**9)  # one batch
+        t = LakeTable(cfg.target_table_dir)
+        lb = t.properties()["last_batch"]
+        assert phases_expected - {"commit", "mor-commit"} <= set(lb["phases_ms"]), (
+            mode,
+            lb["phases_ms"],
+        )
+
+        status_path = os.path.join(tmpdir_path, f"status_{mode}.json")
+        doc = write_status_json(
+            status_path, cfg.target_table_dir, checkpoint_path=cfg.checkpoint_path
+        )
+        on_disk = json.load(open(status_path))
+        assert on_disk["tables"][cfg.target_table_dir]["last_batch"] == lb
+        assert doc["tables"][cfg.target_table_dir]["applied_lsn_hi"] is not None
+        assert "checkpoint" in on_disk
