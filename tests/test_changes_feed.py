@@ -281,3 +281,48 @@ def test_read_changes_multi(spark, tmpdir_path):
         ("db1.conv_a", "c2", 1): ("a2-v1", "upsert"),
         ("conv_b_renamed", "c1", 0): (None, "delete"),
     }
+
+
+def test_changes_feed_across_schema_evolution(spark, tmpdir_path):
+    """A feed spanning an additive schema evolution: pre-evolution commits
+    read the new column as NULL (explicit-schema scan), post-evolution
+    changes carry it — one feed, one schema, no consumer-side branching."""
+    from estuary_spark.generator import LogSpec, write_log
+
+    log_dir = os.path.join(tmpdir_path, "log")
+    spec = LogSpec(n_convs=30, max_turns=6, seed=79, evolve_frac=0.5)
+    write_log(spark, spec, log_dir, evolve=True)
+    cfg = _mk_cfg(tmpdir_path, write_mode="mor", envelope_cols=("lsn", "op", "schema_ver"))
+    run_sync(spark, cfg, events_per_batch=300)
+    t = LakeTable(cfg.target_table_dir)
+
+    feed = t.read_changes(spark, 0)
+    cols = set(feed.columns)
+    assert "model_meta" in cols or any(c not in ("conv_id", "turn_idx", "text",
+        "role", "tool", "ts", "_change_lsn", "_change_type") for c in cols), cols
+
+    # equivalence against the reference fold over the full log (evolved
+    # column included; unionByName pads the pre-evolution events)
+    log = read_log(spark, log_dir)
+    extra = [c for c in feed.columns if c not in ("_change_lsn", "_change_type")]
+    got = {
+        tuple(r[c] for c in ("conv_id", "turn_idx")): (
+            tuple(r[c] for c in extra),
+            r["_change_type"],
+        )
+        for r in feed.collect()
+    }
+    value_cols = [c for c in extra if c not in ("conv_id", "turn_idx")]
+    w = (
+        log.groupBy("conv_id", "turn_idx")
+        .agg(F.max_by(F.struct(*value_cols, "op"), F.col("lsn")).alias("w"))
+        .select("conv_id", "turn_idx", "w.*")
+    )
+    exp = {
+        (r["conv_id"], r["turn_idx"]): (
+            tuple(r[c] for c in extra),
+            "delete" if r["op"] == "delete" else "upsert",
+        )
+        for r in w.collect()
+    }
+    assert got == exp

@@ -76,3 +76,62 @@ def test_random_interleavings_match_python_fold(spark, tmpdir_path):
             for r in read_final_state(spark, cfg).collect()
         }
         assert got == python_fold(events), f"trial {trial} diverged"
+
+
+def python_changes(events, cut):
+    """Reference net feed: winner per key over all events; emit iff its
+    lsn >= cut; deletes kept with type 'delete'."""
+    state = {}
+    for e in sorted(events, key=lambda e: e["lsn"]):
+        state[(e["conv_id"], e["turn_idx"])] = e
+    return {
+        k: (e["text"], e["lsn"], "delete" if e["op"] == "delete" else "upsert")
+        for k, e in state.items()
+        if e["lsn"] >= cut
+    }
+
+
+def test_random_interleavings_changes_feed(spark, tmpdir_path):
+    """Property: for random event interleavings (dups/ooo included, MoR
+    mode, random compaction) and a random cut, read_changes(cut) equals
+    the pure-Python net fold, and applying the feed onto the pre-cut fold
+    reproduces the full fold — for every trial."""
+    from estuary_spark.maintenance import compact
+    from estuary_spark.tables import LakeTable
+
+    for trial in range(3):
+        rng = random.Random(2000 + trial)
+        events = _random_events(rng, n_keys=15, n_events=300)
+        log_dir = os.path.join(tmpdir_path, f"clog{trial}")
+        spark.createDataFrame(events, SCHEMA).repartition(4).write.parquet(log_dir)
+
+        cfg = SyncConfig(
+            source_log_dir=log_dir,
+            target_table_dir=os.path.join(tmpdir_path, f"ctable{trial}"),
+            n_buckets=4,
+            envelope_cols=("lsn", "op"),
+            write_mode="mor",
+            compact_every=0,
+        )
+        run_sync(spark, cfg, events_per_batch=70)
+        t = LakeTable(cfg.target_table_dir)
+        if trial % 2:
+            compact(spark, t, max_files_per_bucket=10**9, max_delta_files_per_bucket=0)
+
+        cut = rng.choice(sorted(e["lsn"] for e in events))
+        got = {
+            (r["conv_id"], r["turn_idx"]): (r["text"], r["_change_lsn"], r["_change_type"])
+            for r in t.read_changes(spark, cut).collect()
+        }
+        assert got == python_changes(events, cut), f"trial {trial} feed diverged"
+
+        # completeness: pre-cut state + feed == full fold
+        state = {
+            k: v for k, v in python_fold([e for e in events if e["lsn"] < cut]).items()
+        }
+        for k, (text, lsn, typ) in got.items():
+            if typ == "delete":
+                state.pop(k, None)
+            else:
+                state[k] = (text, lsn)
+        assert state == python_fold(events), f"trial {trial} consumer diverged"
