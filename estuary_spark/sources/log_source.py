@@ -161,3 +161,73 @@ class KafkaLogSource(LogSource):
             # the Kafka analogue of the file-count trigger bound
             reader = reader.option("maxOffsetsPerTrigger", str(max_files_per_trigger * 10_000))
         return self._decode(reader.load())
+
+
+class TableChangesLogSource(LogSource):
+    """Chained sync: an upstream LakeTable's change feed AS the change log.
+
+    ``run_sync(cfg, source=TableChangesLogSource(upstream_root))``
+    replicates one lake table into another through the unmodified apply
+    core — the feed's net rows map to ordinary change events
+    (``_change_lsn`` -> lsn, ``_change_type`` 'delete' -> a delete event,
+    'upsert' -> an update), so the replica gets exactly-once replay,
+    checkpointing, LWW idempotence, additive schema evolution, and MoR
+    commits for free, and converges to the upstream's live state at the
+    drained position. This is estuary's multi-hop topology (MySQL ->
+    Kafka -> MySQL: the kafka source beans + sinker chain in
+    /root/reference) without the intermediate broker: the upstream
+    table's own commits are the durable log.
+
+    Scale: the batch read is ``read_changes`` — driver-side commit-range
+    pruning plus pushed LSN filters, O(changed data) per catch-up even on
+    a 100 TB upstream. The streaming read tails the upstream's delta
+    commits (``streaming.changes.stream_changes``).
+
+    Retention: the upstream's tombstone-purge watermark is this log's
+    retention floor — start-position resolution validates resumed
+    checkpoints against it exactly as it does for a purged parquet log
+    (estuary's binlog floor, LogPositionHandler.scala:195-205).
+    """
+
+    def __init__(self, table_root: str, lsn_col: str = "lsn"):
+        self.table_root = table_root
+        self.lsn_col = lsn_col
+
+    def _as_events(self, feed: DataFrame) -> DataFrame:
+        return (
+            feed.withColumnRenamed("_change_lsn", self.lsn_col)
+            .withColumn(
+                "op",
+                F.when(F.col("_change_type") == "delete", F.lit("delete")).otherwise(
+                    F.lit("update")
+                ),
+            )
+            .drop("_change_type")
+        )
+
+    def read_batch(self, spark, start_lsn=None, end_lsn=None) -> DataFrame:
+        from estuary_spark.tables import LakeTable
+
+        floor = self.min_available_lsn()
+        start = floor if start_lsn is None else max(int(start_lsn), floor)
+        feed = LakeTable(self.table_root).read_changes(
+            spark, start_lsn=start, end_lsn=end_lsn
+        )
+        return self._as_events(feed)
+
+    def read_stream(self, spark, max_files_per_trigger: int | None = None) -> DataFrame:
+        from estuary_spark.streaming.changes import stream_changes
+
+        feed = stream_changes(
+            spark,
+            self.table_root,
+            max_files_per_trigger=max_files_per_trigger or 16,
+        )
+        return self._as_events(feed)
+
+    def min_available_lsn(self) -> int:
+        from estuary_spark.tables import LakeTable
+
+        t = LakeTable(self.table_root)
+        props = t.properties() if t.exists() else {}
+        return int(props.get("tombstone_purge", {}).get("watermark_lsn", 0))

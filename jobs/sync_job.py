@@ -32,6 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser(description="estuary_spark CDC sync task")
     ap.add_argument("--source", required=True, help="change-log directory (parquet)")
+    ap.add_argument("--from-table", action="store_true",
+                    help="chained sync: --source is an upstream LakeTable root whose "
+                         "change feed is the log (table -> table replication)")
     ap.add_argument("--target", required=True, help="LakeTable root directory")
     ap.add_argument("--lineage", default=None)
     ap.add_argument("--checkpoint", default=None, help="JSON checkpoint (batch mode) or checkpoint dir (streaming)")
@@ -108,6 +111,14 @@ def main() -> None:
         table_renames=renames,
     )
 
+    source = None
+    if args.from_table:
+        if args.table_col:
+            sys.exit("--from-table is a single-table chain; drop --table-col")
+        from estuary_spark.sources.log_source import TableChangesLogSource
+
+        source = TableChangesLogSource(args.source)
+
     if args.table_col:
         if args.streaming:
             from estuary_spark.multi import run_sync_streaming_multi
@@ -124,10 +135,10 @@ def main() -> None:
 
         if not args.checkpoint:
             sys.exit("--checkpoint (a directory) is required with --streaming")
-        stats = run_sync_streaming(spark, cfg, args.checkpoint)
+        stats = run_sync_streaming(spark, cfg, args.checkpoint, source=source)
         print(json.dumps(stats))
     else:
-        summary = run_sync(spark, cfg, events_per_batch=args.events_per_batch)
+        summary = run_sync(spark, cfg, events_per_batch=args.events_per_batch, source=source)
         print(json.dumps(summary.__dict__))
 
 
