@@ -177,6 +177,53 @@ FROM w WHERE rn = 1 AND lsn >= (SELECT s FROM cut)
 """
 
 
+def q_cdc_chained_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop replication end-to-end (estuary's MySQL -> Kafka ->
+    MySQL topology, kafka source beans + sinker chain in /root/reference,
+    without the broker): the derived log syncs into an upstream MoR
+    LakeTable; a SECOND sync replicates it table -> table in two
+    incremental phases via ``TableChangesLogSource`` — the upstream's net
+    change feed replayed as ordinary change events through the unmodified
+    apply core (phase 1 stops at the mid LSN, phase 2 catches up from the
+    replica's checkpointed position). The replica's final state must
+    equal the one-shot SQL fold of the ORIGINAL log — two engine hops and
+    an incremental cut introduce no drift."""
+    from estuary_spark.config import SyncConfig
+    from estuary_spark.runner import read_final_state, run_sync
+    from estuary_spark.sources.log_source import TableChangesLogSource
+
+    work = tempfile.mkdtemp(prefix="estuary-gate-chain-")
+    log_dir = os.path.join(work, "log")
+    log = _derive_cdc_log(spark, sf_dir)
+    log.repartitionByRange(4, "lsn").write.parquet(log_dir)
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+    cut = (int(lo) + int(hi)) // 2
+    up = dict(
+        source_log_dir=log_dir,
+        target_table_dir=os.path.join(work, "up"),
+        n_buckets=8,
+        envelope_cols=("lsn", "op"),
+        write_mode="mor",
+        compact_every=3,
+    )
+    rep = SyncConfig(
+        source_log_dir=up["target_table_dir"],
+        target_table_dir=os.path.join(work, "rep"),
+        checkpoint_path=os.path.join(work, "rep_ckpt.json"),
+        n_buckets=4,
+        envelope_cols=("lsn", "op"),
+        write_mode="mor",
+        compact_every=3,
+    )
+    src = TableChangesLogSource(up["target_table_dir"])
+    run_sync(spark, SyncConfig(stop_at_lsn=cut, **up), events_per_batch=2000)
+    run_sync(spark, rep, events_per_batch=2000, source=src)
+    run_sync(spark, SyncConfig(**up), events_per_batch=2000)
+    run_sync(spark, rep, events_per_batch=2000, source=src)
+    final = read_final_state(spark, rep)
+    return final.select("conv_id", "turn_idx", "text", "_lsn")
+
+
 def q_incremental_transcript_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feed-driven incremental maintenance end-to-end: a consumer
     snapshots turn-level state at a mid-run commit boundary
@@ -733,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_fold_engine": q_cdc_fold_engine,
         "cdc_fold_engine_mor": q_cdc_fold_engine_mor,
         "cdc_changes_feed": q_cdc_changes_feed,
+        "cdc_chained_sync": q_cdc_chained_sync,
         "incremental_transcript_stats": q_incremental_transcript_stats,
         "cdc_multi_table": q_cdc_multi_table,
         "cdc_multi_table_ops": q_cdc_multi_table_ops,
@@ -768,6 +816,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_fold_engine": _CDC_ORACLE_FOLD,
         "cdc_fold_engine_mor": _CDC_ORACLE_FOLD,
         "cdc_changes_feed": _CDC_CHANGES_ORACLE,
+        "cdc_chained_sync": _CDC_ORACLE_FOLD,
         "incremental_transcript_stats": f"""
             WITH fold AS ({_CDC_ORACLE_FOLD})
             SELECT conv_id,
