@@ -181,7 +181,9 @@ class TableChangesLogSource(LogSource):
     Scale: the batch read is ``read_changes`` — driver-side commit-range
     pruning plus pushed LSN filters, O(changed data) per catch-up even on
     a 100 TB upstream. The streaming read tails the upstream's delta
-    commits (``streaming.changes.stream_changes``).
+    commits (``streaming.changes.stream_changes``) and therefore needs an
+    upstream synced with ``write_mode='mor'`` (a COW upstream has no
+    delta files; its batch feed still works).
 
     Retention: the upstream's tombstone-purge watermark is this log's
     retention floor — start-position resolution validates resumed

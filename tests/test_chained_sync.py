@@ -135,3 +135,35 @@ def test_chained_sync_retention_floor(spark, tmpdir_path):
         source=src,
     )
     assert _state(spark, rep.target_table_dir) == r1
+
+
+def test_chained_sync_streaming(spark, tmpdir_path):
+    """The --streaming --from-table path: the replica tails the upstream's
+    delta commits as a file stream (stream_changes) through foreachBatch
+    apply. Two incremental drains (availableNow) land on the pure fold;
+    the stream checkpoint makes the second drain pick up only the new
+    delta files."""
+    from estuary_spark.streaming import run_sync_streaming
+
+    up, rep = _cfgs(tmpdir_path)
+    rep = SyncConfig(**{**rep.__dict__, "checkpoint_path": None})
+    ckpt = os.path.join(tmpdir_path, "rep-stream-ckpt")
+    write_log(spark, LogSpec(n_convs=40, max_turns=8, seed=74, delete_pct=20), up.source_log_dir)
+    log = read_log(spark, up.source_log_dir)
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+    cut = (int(lo) + int(hi)) // 2
+    src = TableChangesLogSource(up.target_table_dir)
+
+    run_sync(spark, SyncConfig(**{**up.__dict__, "stop_at_lsn": cut}), events_per_batch=400)
+    s1 = run_sync_streaming(spark, rep, ckpt, source=src)
+    assert s1["batches"] > 0
+    assert _state(spark, rep.target_table_dir) == _state(spark, up.target_table_dir)
+
+    run_sync(spark, up, events_per_batch=400)
+    s2 = run_sync_streaming(spark, rep, ckpt, source=src)
+    assert s2["batches"] > 0 and s2["upserted"] + s2["deleted"] > 0
+    exp = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in expected_final_state(log).collect()
+    }
+    assert _state(spark, rep.target_table_dir) == exp
