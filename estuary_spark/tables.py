@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -94,6 +95,33 @@ class FeedRetentionError(RuntimeError):
     CDC subscription below the log retention floor
     (``LogPositionHandler.scala:195-205`` in /root/reference — same
     contract, enforced the same way as checkpoint.LogRetentionError)."""
+
+
+class CommitConflictError(RuntimeError):
+    """A commit could not be applied because a concurrent writer changed
+    state it depends on. Raised in two cases: (a) a copy-on-write commit's
+    ``replaced_buckets`` were modified between read and publish — the
+    rewrite was computed from stale data, the caller must recompute from
+    the new snapshot (compaction callers typically just skip and retry
+    next cycle); (b) the publish race was lost ``MAX_COMMIT_RETRIES``
+    times in a row even for a rebaseable commit. Append-only commits
+    (MoR delta, metadata-only) never hit (a): they are automatically
+    REBASED onto the latest snapshot and re-published — the Iceberg
+    optimistic-concurrency model (fast-append retry vs. validation
+    failure), which estuary never needs because each of its sync tasks
+    owns its MySQL target exclusively; concurrent Spark writers on one
+    lake table do need it."""
+
+
+MAX_COMMIT_RETRIES = 5
+
+
+def _union_schema(a: T.StructType, b: T.StructType) -> T.StructType:
+    """Additive union: fields of ``a`` (authoritative types) plus any
+    fields only ``b`` has — rebasing a commit onto a concurrently-evolved
+    snapshot must keep BOTH writers' added columns."""
+    names = {f.name for f in a.fields}
+    return T.StructType(list(a.fields) + [f for f in b.fields if f.name not in names])
 
 
 def _merge_ranges(ranges: list[list[int]]) -> list[list[int]]:
@@ -198,11 +226,35 @@ class LakeTable:
     def _write_manifest(self, m: dict) -> None:
         v = m["version"]
         final = os.path.join(self._mdir, f"v{v:010d}.json")
-        try:
-            # the atomic put-if-absent commit point (fileio.FileIO contract)
-            self.io.publish_text(final, json.dumps(m))
-        except FileExistsError:
-            raise RuntimeError(f"snapshot v{v} already exists (concurrent writer?)")
+        # the atomic put-if-absent commit point (fileio.FileIO contract);
+        # FileExistsError = lost the publish race (rebase-and-retried by
+        # _publish_with_rebase; a bare create() race propagates it)
+        self.io.publish_text(final, json.dumps(m))
+
+    def _publish_with_rebase(self, m0: dict, build) -> int:
+        """Optimistic-concurrency publish loop. ``build(m)`` constructs
+        the manifest for version ``m['version'] + 1``; losing the
+        put-if-absent race reloads the latest snapshot and rebuilds on top
+        of it. Data files are already on disk at this point (written once,
+        under race-free unique commit dirs), so a rebase is pure metadata
+        — no Spark job reruns. Validation failures (``build`` raising
+        :class:`CommitConflictError` for stale copy-on-write rewrites)
+        propagate immediately: retrying cannot help once the underlying
+        buckets have moved."""
+        m = m0
+        for attempt in range(MAX_COMMIT_RETRIES + 1):
+            manifest = build(m)
+            try:
+                self._write_manifest(manifest)
+                return manifest["version"]
+            except FileExistsError:
+                if attempt == MAX_COMMIT_RETRIES:
+                    raise CommitConflictError(
+                        f"lost the snapshot publish race {MAX_COMMIT_RETRIES + 1} "
+                        f"times at {self.root!r} — a concurrent writer is committing "
+                        "faster than this one can rebase"
+                    )
+                m = self.manifest()
 
     # -------------------------------------------------------------- read
 
@@ -432,12 +484,22 @@ class LakeTable:
 
         Crash safety: data files are written before the manifest rename;
         a crash leaves only unreferenced files (cleaned by ``vacuum``).
-        """
-        m = self.manifest()
-        version = m["version"] + 1
-        schema = new_schema if new_schema is not None else T.StructType.fromJson(m["schema"])
 
-        commit_rel = os.path.join(DATA_DIR, f"commit-{version:010d}")
+        Concurrency: the publish is optimistic. If a concurrent commit
+        lands first WITHOUT touching ``replaced_buckets``, this commit is
+        rebased onto it (metadata-only; the data files are already
+        written). If it DID touch them, the rewrite was computed from
+        stale data and :class:`CommitConflictError` is raised — the
+        caller must recompute (compaction callers skip and retry later).
+        """
+        m0 = self.manifest()
+        schema_req = new_schema if new_schema is not None else T.StructType.fromJson(m0["schema"])
+
+        # unique commit dir: concurrent writers must never collide on
+        # data-file paths (the version prefix is only a readability hint)
+        commit_rel = os.path.join(
+            DATA_DIR, f"commit-{m0['version'] + 1:010d}-{uuid.uuid4().hex[:8]}"
+        )
         commit_dir = os.path.join(self.root, commit_rel)
 
         # write one directory per commit, hive-partitioned by bucket; the
@@ -465,36 +527,57 @@ class LakeTable:
                 if f.endswith(".parquet")
             ]
 
-        files = {b: fl for b, fl in m["files"].items() if int(b) not in replaced_buckets}
-        for b, fl in new_files.items():
-            files[b] = fl
+        def build(m: dict) -> dict:
+            if m is not m0:
+                # rebase validation: the rewrite folded the replaced
+                # buckets' state AS OF m0 — any concurrent change to them
+                # (new delta files, another rewrite) would be silently
+                # discarded by publishing, so that is a real conflict
+                for b in replaced_buckets:
+                    sb = str(b)
+                    if m["files"].get(sb) != m0["files"].get(sb) or m.get(
+                        "delta_files", {}
+                    ).get(sb) != m0.get("delta_files", {}).get(sb):
+                        raise CommitConflictError(
+                            f"bucket {b} of {self.root!r} changed concurrently; "
+                            "recompute the rewrite from the latest snapshot"
+                        )
+            schema = (
+                _union_schema(schema_req, T.StructType.fromJson(m["schema"]))
+                if m is not m0
+                else schema_req
+            )
+            files = {b: fl for b, fl in m["files"].items() if int(b) not in replaced_buckets}
+            for b, fl in new_files.items():
+                files[b] = fl
 
-        # a COW rewrite of a bucket supersedes its MoR delta files ONLY if
-        # the written df already folded them in (compaction does; the COW
-        # merge path reads via read() which folds, so it does too)
-        delta_files = {
-            b: fl for b, fl in m.get("delta_files", {}).items() if int(b) not in replaced_buckets
-        }
+            # a COW rewrite of a bucket supersedes its MoR delta files ONLY if
+            # the written df already folded them in (compaction does; the COW
+            # merge path reads via read() which folds, so it does too)
+            delta_files = {
+                b: fl
+                for b, fl in m.get("delta_files", {}).items()
+                if int(b) not in replaced_buckets
+            }
 
-        props = dict(m.get("properties", {}))
-        ranges = [list(r) for r in props.get("applied_ranges", [])]
-        if applied_range is not None:
-            ranges.append([int(applied_range[0]), int(applied_range[1])])
-        props["applied_ranges"] = _merge_ranges(ranges)
-        if batch_id is not None:
-            props["batch_ids"] = props.get("batch_ids", []) + [batch_id]
-        if extra_properties:
-            props.update(extra_properties)
-        # a COW rewrite folds a bucket's whole history into the new files,
-        # so the commit's LSN span is [0, max applied hi] — compaction and
-        # tombstone purges (applied_range=None) get the same conservative
-        # bound from the already-fused applied ranges
-        hi = max((r[1] for r in props["applied_ranges"]), default=0)
-        _record_commit_range(props, commit_rel, [0, hi], files, delta_files)
+            props = dict(m.get("properties", {}))
+            ranges = [list(r) for r in props.get("applied_ranges", [])]
+            if applied_range is not None:
+                ranges.append([int(applied_range[0]), int(applied_range[1])])
+            props["applied_ranges"] = _merge_ranges(ranges)
+            if batch_id is not None:
+                props["batch_ids"] = props.get("batch_ids", []) + [batch_id]
+            if extra_properties:
+                props.update(extra_properties)
+            # a COW rewrite folds a bucket's whole history into the new files,
+            # so the commit's LSN span is [0, max applied hi] — compaction and
+            # tombstone purges (applied_range=None) get the same conservative
+            # bound from the already-fused applied ranges
+            hi = max((r[1] for r in props["applied_ranges"]), default=0)
+            _record_commit_range(props, commit_rel, [0, hi], files, delta_files)
 
-        self._write_manifest(
-            {
-                "version": version,
+            return {
+                "version": m["version"] + 1,
                 "parent": m["version"],
                 "schema": schema.jsonValue(),
                 "key_cols": m["key_cols"],
@@ -503,8 +586,8 @@ class LakeTable:
                 "delta_files": delta_files,
                 "properties": props,
             }
-        )
-        return version
+
+        return self._publish_with_rebase(m0, build)
 
     def commit_delta(
         self,
@@ -525,13 +608,20 @@ class LakeTable:
         O(table). The applied offset range is fused into the snapshot
         exactly as in the COW path, so replay/exactly-once semantics are
         identical.
-        """
-        m = self.manifest()
-        version = m["version"] + 1
-        schema = new_schema if new_schema is not None else T.StructType.fromJson(m["schema"])
 
-        commit_rel = os.path.join(DATA_DIR, f"delta-{version:010d}")
+        Concurrency: a delta commit is pure append — losing the publish
+        race rebases it onto the latest snapshot automatically (the
+        Iceberg fast-append retry; LWW folding makes concurrent appends
+        commutative at read time), so N writers on one table all succeed.
+        """
+        m0 = self.manifest()
+        schema_req = new_schema if new_schema is not None else T.StructType.fromJson(m0["schema"])
+
+        commit_rel = os.path.join(
+            DATA_DIR, f"delta-{m0['version'] + 1:010d}-{uuid.uuid4().hex[:8]}"
+        )
         commit_dir = os.path.join(self.root, commit_rel)
+        m = m0  # bucket layout (n_buckets) is fixed at create time
         # repartition on the bucket id first — without it every task writes
         # a file into every bucket dir (tasks x buckets small files per
         # commit, and the fold-on-read degrades immediately); with it a
@@ -541,35 +631,44 @@ class LakeTable:
         )
         out.write.partitionBy("_bp").mode("overwrite").parquet(commit_dir)
 
-        delta_files = {b: list(fl) for b, fl in m.get("delta_files", {}).items()}
+        new_by_bucket: dict[str, list[str]] = {}
         for entry in self.io.list_dir(commit_dir):
             if not entry.startswith("_bp="):
                 continue
             b = str(int(entry.split("=", 1)[1]))
             bdir = os.path.join(commit_dir, entry)
-            delta_files.setdefault(b, []).extend(
+            new_by_bucket.setdefault(b, []).extend(
                 os.path.join(commit_rel, entry, f)
                 for f in self.io.list_dir(bdir)
                 if f.endswith(".parquet")
             )
 
-        props = dict(m.get("properties", {}))
-        ranges = [list(r) for r in props.get("applied_ranges", [])]
-        if applied_range is not None:
-            ranges.append([int(applied_range[0]), int(applied_range[1])])
-        props["applied_ranges"] = _merge_ranges(ranges)
-        if batch_id is not None:
-            props["batch_ids"] = props.get("batch_ids", []) + [batch_id]
-        if extra_properties:
-            props.update(extra_properties)
-        # a delta commit contains ONLY the batch's winner rows, so its LSN
-        # span is exactly the applied range — the tight bound that lets an
-        # incremental reader catching up from LSN X skip every older delta
-        _record_commit_range(props, commit_rel, applied_range, m["files"], delta_files)
+        def build(m: dict) -> dict:
+            schema = (
+                _union_schema(schema_req, T.StructType.fromJson(m["schema"]))
+                if m is not m0
+                else schema_req
+            )
+            delta_files = {b: list(fl) for b, fl in m.get("delta_files", {}).items()}
+            for b, fl in new_by_bucket.items():
+                delta_files.setdefault(b, []).extend(fl)
 
-        self._write_manifest(
-            {
-                "version": version,
+            props = dict(m.get("properties", {}))
+            ranges = [list(r) for r in props.get("applied_ranges", [])]
+            if applied_range is not None:
+                ranges.append([int(applied_range[0]), int(applied_range[1])])
+            props["applied_ranges"] = _merge_ranges(ranges)
+            if batch_id is not None:
+                props["batch_ids"] = props.get("batch_ids", []) + [batch_id]
+            if extra_properties:
+                props.update(extra_properties)
+            # a delta commit contains ONLY the batch's winner rows, so its LSN
+            # span is exactly the applied range — the tight bound that lets an
+            # incremental reader catching up from LSN X skip every older delta
+            _record_commit_range(props, commit_rel, applied_range, m["files"], delta_files)
+
+            return {
+                "version": m["version"] + 1,
                 "parent": m["version"],
                 "schema": schema.jsonValue(),
                 "key_cols": m["key_cols"],
@@ -578,8 +677,8 @@ class LakeTable:
                 "delta_files": delta_files,
                 "properties": props,
             }
-        )
-        return version
+
+        return self._publish_with_rebase(m0, build)
 
     def commit_metadata(
         self,
@@ -593,21 +692,21 @@ class LakeTable:
         its offset range must still enter the applied-range bookkeeping so
         restarts and replay detection stay complete (estuary analogue: the
         position recorder advances even when a flush writes nothing,
-        ``SourceDataPositionRecorder.scala:37-92``)."""
-        m = self.manifest()
-        version = m["version"] + 1
-        props = dict(m.get("properties", {}))
-        ranges = [list(r) for r in props.get("applied_ranges", [])]
-        if applied_range is not None:
-            ranges.append([int(applied_range[0]), int(applied_range[1])])
-        props["applied_ranges"] = _merge_ranges(ranges)
-        if batch_id is not None:
-            props["batch_ids"] = props.get("batch_ids", []) + [batch_id]
-        if extra_properties:
-            props.update(extra_properties)
-        self._write_manifest(
-            {
-                "version": version,
+        ``SourceDataPositionRecorder.scala:37-92``). Pure metadata is
+        always rebaseable, so concurrent writers cannot make it fail."""
+
+        def build(m: dict) -> dict:
+            props = dict(m.get("properties", {}))
+            ranges = [list(r) for r in props.get("applied_ranges", [])]
+            if applied_range is not None:
+                ranges.append([int(applied_range[0]), int(applied_range[1])])
+            props["applied_ranges"] = _merge_ranges(ranges)
+            if batch_id is not None:
+                props["batch_ids"] = props.get("batch_ids", []) + [batch_id]
+            if extra_properties:
+                props.update(extra_properties)
+            return {
+                "version": m["version"] + 1,
                 "parent": m["version"],
                 "schema": m["schema"],
                 "key_cols": m["key_cols"],
@@ -616,8 +715,8 @@ class LakeTable:
                 "delta_files": m.get("delta_files", {}),
                 "properties": props,
             }
-        )
-        return version
+
+        return self._publish_with_rebase(self.manifest(), build)
 
     def truncate(self, at_lsn: int | None = None, batch_id: int | None = None) -> int:
         """Table-level truncate (the structured analogue of estuary's DDL
@@ -628,17 +727,16 @@ class LakeTable:
         ``properties["table_ops_lsn"]`` so (a) a replayed truncating batch
         skips re-truncation and (b) late pre-truncate events arriving in
         later batches can be fenced out instead of resurrecting rows."""
-        m = self.manifest()
-        version = m["version"] + 1
-        props = dict(m.get("properties", {}))
-        props["commit_lsn_ranges"] = {}  # no files -> no live commit dirs
-        if at_lsn is not None:
-            props["table_ops_lsn"] = max(int(at_lsn), int(props.get("table_ops_lsn", -1)))
-        if batch_id is not None:
-            props["batch_ids"] = props.get("batch_ids", []) + [batch_id]
-        self._write_manifest(
-            {
-                "version": version,
+
+        def build(m: dict) -> dict:
+            props = dict(m.get("properties", {}))
+            props["commit_lsn_ranges"] = {}  # no files -> no live commit dirs
+            if at_lsn is not None:
+                props["table_ops_lsn"] = max(int(at_lsn), int(props.get("table_ops_lsn", -1)))
+            if batch_id is not None:
+                props["batch_ids"] = props.get("batch_ids", []) + [batch_id]
+            return {
+                "version": m["version"] + 1,
                 "parent": m["version"],
                 "schema": m["schema"],
                 "key_cols": m["key_cols"],
@@ -647,23 +745,21 @@ class LakeTable:
                 "delta_files": {},
                 "properties": props,
             }
-        )
-        return version
+
+        return self._publish_with_rebase(self.manifest(), build)
 
     def evolve_schema(self, new_schema: T.StructType) -> int:
         """Additive schema evolution between micro-batches (metadata-only
         commit — the DDL-barrier analogue, SURVEY.md D4: schema changes
         apply when the pipeline is drained, i.e. between batches)."""
-        m = self.manifest()
-        old = T.StructType.fromJson(m["schema"])
-        merged = T.StructType(list(old.fields))
-        for f in new_schema.fields:
-            if f.name not in merged.names:
-                merged = merged.add(f.name, f.dataType, True)
-        version = m["version"] + 1
-        self._write_manifest(
-            {
-                "version": version,
+        def build(m: dict) -> dict:
+            old = T.StructType.fromJson(m["schema"])
+            merged = T.StructType(list(old.fields))
+            for f in new_schema.fields:
+                if f.name not in merged.names:
+                    merged = merged.add(f.name, f.dataType, True)
+            return {
+                "version": m["version"] + 1,
                 "parent": m["version"],
                 "schema": merged.jsonValue(),
                 "key_cols": m["key_cols"],
@@ -672,8 +768,8 @@ class LakeTable:
                 "delta_files": m.get("delta_files", {}),
                 "properties": m.get("properties", {}),
             }
-        )
-        return version
+
+        return self._publish_with_rebase(self.manifest(), build)
 
     # ------------------------------------------------------------- vacuum
 

@@ -108,8 +108,11 @@ def test_publish_is_put_if_absent(spark, tmpdir_path):
         cfg.target_table_dir, user_schema_of_log(log, cfg), n_buckets=2,
         key_cols=["conv_id", "turn_idx"], io=io,
     )
-    # a second writer publishing the same version loses deterministically
-    with pytest.raises(RuntimeError, match="concurrent writer"):
+    # a second writer publishing the same version loses deterministically;
+    # the raw primitive surfaces FileExistsError — the commit layer above
+    # (_publish_with_rebase) turns it into rebase-and-retry, see
+    # test_concurrent_commit.py
+    with pytest.raises(FileExistsError):
         t._write_manifest(t.manifest() | {"version": 0})
 
 
