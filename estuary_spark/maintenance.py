@@ -91,3 +91,50 @@ def purge_tombstones(spark: SparkSession, table: LakeTable, watermark_lsn: int) 
         extra_properties={"tombstone_purge": {"watermark_lsn": watermark_lsn, "purged": n_purged}},
     )
     return n_purged
+
+
+def rebucket(spark: SparkSession, table: LakeTable, new_n_buckets: int) -> int:
+    """Change the table's bucket count with one atomic full rewrite
+    (Iceberg's ``REPLACE PARTITION FIELD`` + rewrite analogue; estuary has
+    no equivalent — its MOD/primary-key partition count is fixed per task,
+    ``PartitionStrategy`` in /root/reference, so resizing means a manual
+    re-sync there).
+
+    Why it exists at 10^10-row scale: the bucket count chosen at create
+    time bounds merge/read parallelism AND the granularity of bucket
+    pruning; a table that grew 100x needs more buckets or every bucket
+    becomes a multi-GB fold. The rewrite folds MoR deltas in (it reads
+    through the merge view, tombstones preserved), recomputes the bucket
+    id with the new modulus, and publishes data + ``n_buckets`` in ONE
+    snapshot, so a concurrent reader sees the old layout or the new one,
+    never a mix; subsequent syncs pick up the new modulus from the
+    manifest automatically. A concurrent WRITER's commit conflicts by
+    construction (every existing bucket is replaced) and the loser gets
+    the typed CommitConflictError instead of a corrupted layout.
+
+    Returns the new snapshot version (no-op returns the current one).
+    """
+    from estuary_spark.tables import bucket_expr
+
+    m = table.manifest()
+    old_n = int(m["n_buckets"])
+    if int(new_n_buckets) == old_n:
+        return int(m["version"])
+    key0 = m["key_cols"][0]
+    # every bucket id that any file (base or delta) currently lives under
+    old_ids = sorted(
+        {int(b) for b in m.get("files", {})} | {int(b) for b in m.get("delta_files", {})}
+        | set(range(old_n))
+    )
+    df = table.read(spark, include_tombstones=True).withColumn(
+        BUCKET_COL, bucket_expr(key0, int(new_n_buckets))
+    )
+    return table.commit(
+        spark,
+        df,
+        replaced_buckets=old_ids,
+        applied_range=None,
+        batch_id=None,
+        extra_properties={"rebucket": {"from": old_n, "to": int(new_n_buckets)}},
+        new_n_buckets=int(new_n_buckets),
+    )

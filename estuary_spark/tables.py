@@ -476,11 +476,19 @@ class LakeTable:
         batch_id: int | None,
         new_schema: T.StructType | None = None,
         extra_properties: dict | None = None,
+        new_n_buckets: int | None = None,
     ) -> int:
         """Copy-on-write commit: write ``df`` (which must contain all rows
         for ``replaced_buckets`` and only those buckets), then publish a
         manifest where those buckets' files are replaced and the applied
         LSN range is fused into the snapshot properties.
+
+        ``new_n_buckets`` changes the table's bucket count atomically with
+        the rewrite (``maintenance.rebucket``): ``replaced_buckets`` must
+        then cover every existing bucket id and ``df`` must carry NEW
+        bucket ids — the published manifest swaps layout and data in one
+        snapshot, so readers only ever see a consistent (n_buckets, files)
+        pair.
 
         Crash safety: data files are written before the manifest rename;
         a crash leaves only unreferenced files (cleaned by ``vacuum``).
@@ -581,7 +589,7 @@ class LakeTable:
                 "parent": m["version"],
                 "schema": schema.jsonValue(),
                 "key_cols": m["key_cols"],
-                "n_buckets": m["n_buckets"],
+                "n_buckets": int(new_n_buckets) if new_n_buckets is not None else m["n_buckets"],
                 "files": files,
                 "delta_files": delta_files,
                 "properties": props,

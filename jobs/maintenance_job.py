@@ -32,6 +32,10 @@ def main() -> None:
     ap.add_argument("--multi", action="store_true",
                     help="treat --table as a multi-table sync root and run the "
                          "actions on every destination table under it")
+    ap.add_argument("--rebucket", type=int, default=None, metavar="N",
+                    help="change the table's bucket count with one atomic full "
+                         "rewrite (run when the table outgrew its create-time "
+                         "bucket choice); runs before any other action")
     ap.add_argument("--compact", action="store_true",
                     help="fold MoR delta files into base and merge small base files")
     ap.add_argument("--max-files-per-bucket", type=int, default=4)
@@ -48,7 +52,7 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    from estuary_spark.maintenance import compact, purge_tombstones
+    from estuary_spark.maintenance import compact, purge_tombstones, rebucket
     from estuary_spark.tables import LakeTable
 
     spark = SparkSession.builder.appName(args.app_name).getOrCreate()
@@ -69,6 +73,8 @@ def main() -> None:
     for root in roots:
         t = LakeTable(root)
         r: dict = {}
+        if args.rebucket is not None:
+            r["rebucket_version"] = rebucket(spark, t, args.rebucket)
         if args.compact:
             r["compacted_buckets"] = compact(
                 spark, t,
