@@ -134,3 +134,34 @@ def test_maintenance_job(spark, tmpdir_path, monkeypatch, capsys):
         for r in LakeTable(table_dir).read(spark).collect()
     }
     assert got == exp
+
+
+def test_changes_job_multi(spark, tmpdir_path, monkeypatch, capsys):
+    """--multi: one CLI drain over every destination table of a routed
+    multi-table sync, rows tagged _dst_table, position advances."""
+    import changes_job
+
+    from tests.test_multi_table import _mk_cfg, _write_log
+    from estuary_spark.multi import run_sync_multi
+
+    _write_log(spark, tmpdir_path)
+    cfg = _mk_cfg(tmpdir_path)
+    run_sync_multi(spark, cfg, events_per_batch=100)
+
+    out_dir = os.path.join(tmpdir_path, "feed")
+    ckpt = os.path.join(tmpdir_path, "consumer.json")
+    _run_job(monkeypatch, changes_job,
+             ["--table", cfg.target_table_dir, "--multi",
+              "--consumer-checkpoint", ckpt, "--output", out_dir])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] > 0
+
+    feed = spark.read.parquet(out_dir)
+    assert "_dst_table" in feed.columns
+    assert feed.select("_dst_table").distinct().count() >= 2
+    # second drain from the stored position: nothing new
+    _run_job(monkeypatch, changes_job,
+             ["--table", cfg.target_table_dir, "--multi",
+              "--consumer-checkpoint", ckpt])
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["rows"] == 0 and rep2["start_lsn"] == rep["next_start_lsn"]
