@@ -409,8 +409,13 @@ def apply_batch(
         winners.unpersist()
         return BatchResult(batch_id, True, None, offset_range, [], int((time.time() - t0) * 1000))
 
-    # ---- MERGE: bucket-pruned copy-on-write join (T2)
-    target = table.read(spark, buckets=touched, include_tombstones=True)
+    # ---- MERGE: bucket-pruned copy-on-write join (T2). Pin the snapshot
+    # the merge is computed from and pass it as the commit's conflict-
+    # validation base: a concurrent writer (maintenance job, rival sync)
+    # landing between this read and the commit must surface as
+    # CommitConflictError, not silently lose its files.
+    base_v = table.current_version()
+    target = table.read(spark, buckets=touched, include_tombstones=True, version=base_v)
 
     s = winners.select(
         *key_cols,
@@ -546,6 +551,7 @@ def apply_batch(
                 "phases_ms": dict(phases),
             }
         },
+        base_version=base_v,
     )
     _pt = _tick("commit", _pt, phases)
     merged.unpersist()

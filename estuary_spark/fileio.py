@@ -10,8 +10,10 @@ below is a *choice*, not an assumption baked into the table format.
 
 Production mappings of ``publish_text`` (the atomic commit point):
 
-* **POSIX local / HDFS** — write temp + fsync + ``rename`` onto a final
-  name that must not exist (implemented here; HDFS rename is atomic).
+* **POSIX local** — write temp + fsync + ``link(2)`` onto the final name:
+  link fails with EEXIST when the target exists, so a race has exactly one
+  winner (implemented here). **HDFS** — ``create(path, overwrite=false)``
+  gives the same primitive natively.
 * **S3** — conditional ``PutObject`` with ``If-None-Match: *`` directly on
   the final manifest key; no rename needed (S3 has no atomic rename, which
   is exactly why the seam exists — r2 VERDICT "what's missing" #4).
@@ -76,18 +78,20 @@ class LocalFileIO(FileIO):
             return fh.read()
 
     def publish_text(self, path: str, data: str) -> None:
-        if os.path.exists(path):
-            raise FileExistsError(path)
         tmp = os.path.join(os.path.dirname(path), f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             fh.write(data)
             fh.flush()
             os.fsync(fh.fileno())
-        # the atomic commit point; os.rename overwrites on POSIX, so the
-        # existence check above is the put-if-absent guard (single-writer
-        # by design — a true multi-writer deployment uses a conditional
-        # put or catalog swap, see module docstring)
-        os.rename(tmp, path)
+        # the atomic commit point: link(2) fails with EEXIST if the target
+        # already exists, so two racing writers get exactly one winner even
+        # under a true interleaving (os.rename would silently overwrite)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise FileExistsError(path)
+        finally:
+            os.unlink(tmp)
 
     def makedirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)

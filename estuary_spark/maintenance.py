@@ -42,7 +42,7 @@ def compact(
     fat = sorted(fat)
     if not fat:
         return 0
-    df = table.read(spark, buckets=fat, include_tombstones=True)
+    df = table.read(spark, buckets=fat, include_tombstones=True, version=m["version"])
     table.commit(
         spark,
         df,
@@ -50,6 +50,7 @@ def compact(
         applied_range=None,
         batch_id=None,
         extra_properties={"compaction": {"buckets": fat}},
+        base_version=m["version"],
     )
     return len(fat)
 
@@ -58,7 +59,8 @@ def purge_tombstones(spark: SparkSession, table: LakeTable, watermark_lsn: int) 
     """Drop tombstone rows with ``_lsn < watermark_lsn``. Returns rows
     purged. Only buckets that actually hold purgeable tombstones are
     rewritten (two cheap column-pruned passes to find them)."""
-    full = table.read(spark, include_tombstones=True)
+    base_v = table.current_version()
+    full = table.read(spark, include_tombstones=True, version=base_v)
     purgeable = full.filter(
         F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col(LSN_COL) < watermark_lsn)
     )
@@ -76,7 +78,7 @@ def purge_tombstones(spark: SparkSession, table: LakeTable, watermark_lsn: int) 
                 }
             )
         return 0
-    scoped = table.read(spark, buckets=buckets, include_tombstones=True)
+    scoped = table.read(spark, buckets=buckets, include_tombstones=True, version=base_v)
     purge_flag = F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col(LSN_COL) < watermark_lsn)
     keep = scoped.filter(~purge_flag)
     # one aggregate pass for the count (not two full count() jobs)
@@ -89,8 +91,43 @@ def purge_tombstones(spark: SparkSession, table: LakeTable, watermark_lsn: int) 
         applied_range=None,
         batch_id=None,
         extra_properties={"tombstone_purge": {"watermark_lsn": watermark_lsn, "purged": n_purged}},
+        base_version=base_v,
     )
     return n_purged
+
+
+def purge_dropped_tables(root: str) -> dict:
+    """Physically remove destination tables that were LOGICALLY dropped by
+    a ``drop_table`` op (``multi._apply_table_ops`` commits an empty
+    snapshot carrying ``dropped_at_lsn`` instead of deleting, so the
+    ``table_ops_lsn`` fence survives and pre-drop stragglers in later
+    micro-batches cannot resurrect stale state). This is the deferred
+    physical step: a marked table with no live data files is removed from
+    disk; a marked table that post-drop events RECREATED (live files
+    exist) has its marker cleared instead. Returns
+    ``{"removed": [...], "recreated": [...]}``."""
+    import os
+    import shutil
+
+    removed: list[str] = []
+    recreated: list[str] = []
+    for d in sorted(os.listdir(root) if os.path.isdir(root) else []):
+        t = LakeTable(os.path.join(root, d))
+        if not t.exists():
+            continue
+        m = t.manifest()
+        if m.get("properties", {}).get("dropped_at_lsn") is None:
+            continue
+        has_files = any(fl for fl in m.get("files", {}).values()) or any(
+            fl for fl in m.get("delta_files", {}).values()
+        )
+        if has_files:
+            t.commit_metadata(extra_properties={"dropped_at_lsn": None})
+            recreated.append(d)
+        else:
+            shutil.rmtree(t.root)
+            removed.append(d)
+    return {"removed": removed, "recreated": recreated}
 
 
 def rebucket(spark: SparkSession, table: LakeTable, new_n_buckets: int) -> int:
@@ -126,7 +163,7 @@ def rebucket(spark: SparkSession, table: LakeTable, new_n_buckets: int) -> int:
         {int(b) for b in m.get("files", {})} | {int(b) for b in m.get("delta_files", {})}
         | set(range(old_n))
     )
-    df = table.read(spark, include_tombstones=True).withColumn(
+    df = table.read(spark, include_tombstones=True, version=m["version"]).withColumn(
         BUCKET_COL, bucket_expr(key0, int(new_n_buckets))
     )
     return table.commit(
@@ -137,4 +174,5 @@ def rebucket(spark: SparkSession, table: LakeTable, new_n_buckets: int) -> int:
         batch_id=None,
         extra_properties={"rebucket": {"from": old_n, "to": int(new_n_buckets)}},
         new_n_buckets=int(new_n_buckets),
+        base_version=m["version"],
     )

@@ -63,10 +63,15 @@ def _apply_table_ops(batch: DataFrame, cfg: SyncConfig, tables: dict) -> DataFra
     Semantics: the LATEST table-level op per destination wins; row events
     at or below its LSN are superseded (they describe pre-truncate/drop
     state). ``truncate`` commits an empty snapshot keeping applied-range
-    bookkeeping + an op watermark (replay-safe); ``drop_table`` removes
-    the destination entirely — later events recreate it fresh, which is
-    also the replay-converged state. Driver cost is O(#tables with ops);
-    the row-event filter is a literal predicate pushed into the scan.
+    bookkeeping + an op watermark (replay-safe); ``drop_table`` is a
+    LOGICAL drop — the same empty snapshot plus a ``dropped_at_lsn``
+    marker, so the ``table_ops_lsn`` fence survives and a pre-drop
+    straggler event arriving in a later micro-batch (the streaming
+    front-end delivers file batches in modification-time order, not LSN
+    order) cannot resurrect stale state. Physical removal is deferred to
+    ``maintenance.purge_dropped_tables`` (which also clears the marker if
+    post-drop events recreated the table). Driver cost is O(#tables with
+    ops); the row-event filter is a literal predicate pushed into the scan.
     """
     ops = (
         batch.filter(F.col(cfg.op_col).isin(*TABLE_OPS))
@@ -79,7 +84,6 @@ def _apply_table_ops(batch: DataFrame, cfg: SyncConfig, tables: dict) -> DataFra
     )
     if not ops:
         return batch
-    import shutil
 
     for r in ops:
         dst, at = r[DST_COL], int(r["at"])
@@ -90,8 +94,7 @@ def _apply_table_ops(batch: DataFrame, cfg: SyncConfig, tables: dict) -> DataFra
         if int(t.properties().get("table_ops_lsn", -1)) >= at:
             continue  # replayed batch: op already executed
         if r["op"] == OP_DROP_TABLE:
-            shutil.rmtree(tdir)
-            tables.pop(dst, None)
+            t.truncate(at_lsn=at, extra_properties={"dropped_at_lsn": at})
         else:
             t.truncate(at_lsn=at)
     cond = None

@@ -158,10 +158,13 @@ def write_stream_kafka(
 ):
     """Start a streaming Kafka sink for a change-event stream.
 
-    At-least-once per micro-batch (Spark's Kafka sink semantics); the
-    deterministic msgUuid + LSN in the key let consumers deduplicate.
-    Requires the spark-sql-kafka package on the cluster (not present in
-    this sandbox — the construction above is what's unit-tested).
+    At-least-once per micro-batch (Spark's Kafka sink semantics). The
+    message KEY is the PK string only (stable partitioning / per-key
+    order); consumers deduplicate replays via the ``lineage`` HEADER's
+    deterministic msgUuid + syncTaskSequence, or the ``lsn`` field in the
+    JSON value envelope. Requires the spark-sql-kafka package on the
+    cluster (not present in this sandbox — the construction above is
+    what's unit-tested).
     """
     out = kafka_key_value(df, task_id, **kv_kwargs)
     writer = (

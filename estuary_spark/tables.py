@@ -477,11 +477,22 @@ class LakeTable:
         new_schema: T.StructType | None = None,
         extra_properties: dict | None = None,
         new_n_buckets: int | None = None,
+        base_version: int | None = None,
     ) -> int:
         """Copy-on-write commit: write ``df`` (which must contain all rows
         for ``replaced_buckets`` and only those buckets), then publish a
         manifest where those buckets' files are replaced and the applied
         LSN range is fused into the snapshot properties.
+
+        ``base_version`` is the snapshot the rewrite was COMPUTED from
+        (capture ``current_version()`` before calling ``read()``). The
+        replaced-bucket conflict validation runs against that snapshot, so
+        a rival commit landing between the read and this publish is
+        detected even when this writer wins the publish race — without it
+        the rival's files would be silently dropped. ``None`` means "the
+        manifest loaded at commit time" (correct only when read and commit
+        are back-to-back with no interleaving window, e.g. the sync
+        runner's single-threaded merge path).
 
         ``new_n_buckets`` changes the table's bucket count atomically with
         the rewrite (``maintenance.rebucket``): ``replaced_buckets`` must
@@ -502,6 +513,13 @@ class LakeTable:
         """
         m0 = self.manifest()
         schema_req = new_schema if new_schema is not None else T.StructType.fromJson(m0["schema"])
+        # the snapshot the rewrite's input state was read from — conflict
+        # validation baseline (a rival commit after it is already in m0)
+        base = (
+            m0
+            if base_version is None or base_version == m0["version"]
+            else self.manifest(base_version)
+        )
 
         # unique commit dir: concurrent writers must never collide on
         # data-file paths (the version prefix is only a readability hint)
@@ -536,23 +554,25 @@ class LakeTable:
             ]
 
         def build(m: dict) -> dict:
-            if m is not m0:
-                # rebase validation: the rewrite folded the replaced
-                # buckets' state AS OF m0 — any concurrent change to them
-                # (new delta files, another rewrite) would be silently
-                # discarded by publishing, so that is a real conflict
+            if m["version"] != base["version"]:
+                # conflict validation: the rewrite folded the replaced
+                # buckets' state AS OF ``base`` — any concurrent change to
+                # them since (new delta files, another rewrite) would be
+                # silently discarded by publishing, so that is a real
+                # conflict whether it landed before m0 was loaded or during
+                # a rebase retry
                 for b in replaced_buckets:
                     sb = str(b)
-                    if m["files"].get(sb) != m0["files"].get(sb) or m.get(
+                    if m["files"].get(sb) != base["files"].get(sb) or m.get(
                         "delta_files", {}
-                    ).get(sb) != m0.get("delta_files", {}).get(sb):
+                    ).get(sb) != base.get("delta_files", {}).get(sb):
                         raise CommitConflictError(
                             f"bucket {b} of {self.root!r} changed concurrently; "
                             "recompute the rewrite from the latest snapshot"
                         )
             schema = (
                 _union_schema(schema_req, T.StructType.fromJson(m["schema"]))
-                if m is not m0
+                if m["version"] != base["version"]
                 else schema_req
             )
             files = {b: fl for b, fl in m["files"].items() if int(b) not in replaced_buckets}
@@ -580,9 +600,16 @@ class LakeTable:
             # a COW rewrite folds a bucket's whole history into the new files,
             # so the commit's LSN span is [0, max applied hi] — compaction and
             # tombstone purges (applied_range=None) get the same conservative
-            # bound from the already-fused applied ranges
-            hi = max((r[1] for r in props["applied_ranges"]), default=0)
-            _record_commit_range(props, commit_rel, [0, hi], files, delta_files)
+            # bound from the already-fused applied ranges. A table populated
+            # via direct commit() calls with no applied-range bookkeeping has
+            # no basis for a bound: record nothing (readers treat an absent
+            # entry as "may contain anything" — conservative, never pruned)
+            # rather than a wrong [0, 0] that read_changes would prune away.
+            if props["applied_ranges"]:
+                hi = max(r[1] for r in props["applied_ranges"])
+                _record_commit_range(props, commit_rel, [0, hi], files, delta_files)
+            else:
+                _record_commit_range(props, commit_rel, None, files, delta_files)
 
             return {
                 "version": m["version"] + 1,
@@ -726,7 +753,12 @@ class LakeTable:
 
         return self._publish_with_rebase(self.manifest(), build)
 
-    def truncate(self, at_lsn: int | None = None, batch_id: int | None = None) -> int:
+    def truncate(
+        self,
+        at_lsn: int | None = None,
+        batch_id: int | None = None,
+        extra_properties: dict | None = None,
+    ) -> int:
         """Table-level truncate (the structured analogue of estuary's DDL
         truncate handling, ``MysqlTableSchemaHolder.scala:35-101`` in
         /root/reference): commit a snapshot with NO data files, keeping
@@ -743,6 +775,8 @@ class LakeTable:
                 props["table_ops_lsn"] = max(int(at_lsn), int(props.get("table_ops_lsn", -1)))
             if batch_id is not None:
                 props["batch_ids"] = props.get("batch_ids", []) + [batch_id]
+            if extra_properties:
+                props.update(extra_properties)
             return {
                 "version": m["version"] + 1,
                 "parent": m["version"],

@@ -150,6 +150,96 @@ def test_cow_rebases_over_unrelated_commit(spark, tmpdir_path):
     assert t.read(spark).count() == folded.count()
 
 
+def test_publish_true_interleaving(tmpdir_path):
+    """The FileIO put-if-absent primitive under a REAL interleaving: N
+    threads pass any pre-check simultaneously and race the final publish —
+    exactly one may win (link(2) EEXIST), the rest must see
+    FileExistsError, and the winner's bytes must be intact (an
+    os.rename-based publish silently lets the last writer overwrite)."""
+    import threading
+
+    io = LocalFileIO()
+    path = os.path.join(tmpdir_path, "v1.json")
+    n = 16
+    barrier = threading.Barrier(n)
+    results: list[str | None] = [None] * n
+
+    def attempt(i: int) -> None:
+        barrier.wait()  # all threads reach the publish together
+        try:
+            io.publish_text(path, f"writer-{i}")
+            results[i] = "won"
+        except FileExistsError:
+            results[i] = "lost"
+
+    threads = [threading.Thread(target=attempt, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results.count("won") == 1
+    winner = results.index("won")
+    assert io.read_text(path) == f"writer-{winner}"
+    # no tmp litter left behind
+    assert [f for f in os.listdir(tmpdir_path) if f.startswith(".tmp-")] == []
+
+
+def test_cow_conflict_detected_when_winning_publish(spark, tmpdir_path):
+    """base_version threading: a rival delta commit lands BETWEEN the
+    rewrite's read and its commit (no publish race at all — the victim
+    publishes first and would 'win'). Without validating against the
+    snapshot the rewrite was computed from, the rival's files would be
+    silently dropped; with base_version it is a typed conflict."""
+    t = _mk_table(tmpdir_path)
+    base = _batch(spark, range(0, 20), "base")
+    t.commit_delta(spark, base, applied_range=(0, 19), batch_id=0)
+    buckets = sorted(
+        r["b"] for r in base.select(F.col(BUCKET_COL).alias("b")).distinct().collect()
+    )
+
+    # the rewrite reads (and pins) the snapshot here ...
+    base_v = t.current_version()
+    folded = t.read(spark, include_tombstones=True, version=base_v)
+
+    # ... then a rival delta commit lands before the rewrite commits
+    t.commit_delta(
+        spark, _batch(spark, range(50, 60), "rival"), applied_range=(50, 59), batch_id=1
+    )
+
+    with pytest.raises(CommitConflictError, match="changed concurrently"):
+        t.commit(
+            spark,
+            folded,
+            replaced_buckets=buckets,
+            applied_range=None,
+            batch_id=None,
+            base_version=base_v,
+        )
+    # the rival's rows survive
+    assert any(r["text"].startswith("rival-") for r in t.read(spark).collect())
+
+
+def test_direct_commit_feed_not_pruned(spark, tmpdir_path):
+    """A table populated via direct commit() calls with no applied-range
+    bookkeeping must keep its change feed conservative: the commit gets NO
+    lsn-range entry (readers scan it), not a wrong [0, 0] that
+    read_changes(start_lsn>=1) would prune away driver-side."""
+    t = _mk_table(tmpdir_path)
+    df = _batch(spark, range(100, 110), "direct")
+    t.commit(
+        spark,
+        df,
+        replaced_buckets=sorted(
+            r["b"] for r in df.select(F.col(BUCKET_COL).alias("b")).distinct().collect()
+        ),
+        applied_range=None,
+        batch_id=None,
+    )
+    assert t.manifest()["properties"]["commit_lsn_ranges"] == {}
+    got = t.read_changes(spark, start_lsn=100).collect()
+    assert len(got) == 10 and all(r["_change_type"] == "upsert" for r in got)
+
+
 def test_evolution_race_keeps_both_columns(spark, tmpdir_path):
     io = RacingIO()
     victim = _mk_table(tmpdir_path, io=io)

@@ -126,7 +126,12 @@ def test_multi_table_truncate_and_drop(spark, tmpdir_path):
     run_sync_multi(spark, cfg, events_per_batch=2)  # ops land mid-run
 
     root = cfg.target_table_dir
-    assert not os.path.exists(os.path.join(root, "db1.b"))  # dropped
+    # drop is LOGICAL: an empty fenced snapshot with a dropped marker, so
+    # pre-drop stragglers in later batches cannot resurrect stale state
+    tb = LakeTable(os.path.join(root, "db1.b"))
+    assert int(tb.properties()["dropped_at_lsn"]) == 6
+    assert int(tb.properties()["table_ops_lsn"]) == 6
+    assert tb.read(spark).count() == 0
     t = LakeTable(os.path.join(root, "db1.a"))
     assert int(t.properties()["table_ops_lsn"]) == 4
     state = {
@@ -157,6 +162,14 @@ def test_multi_table_truncate_and_drop(spark, tmpdir_path):
         (r["conv_id"], r["text"])
         for r in read_final_state_multi(spark, cfg3).collect()
     } == state
+
+    # deferred physical removal: the logically-dropped (still empty) table
+    # is deleted by maintenance; recreated tables would be unmarked instead
+    from estuary_spark.maintenance import purge_dropped_tables
+
+    res = purge_dropped_tables(root)
+    assert res["removed"] == ["db1.b"] and res["recreated"] == []
+    assert not os.path.exists(os.path.join(root, "db1.b"))
 
 
 def test_multi_table_streaming(spark, tmpdir_path):
