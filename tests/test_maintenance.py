@@ -109,7 +109,11 @@ def test_expire_snapshots_keeps_last_n_readable(spark, tmpdir_path):
     # expiring again is a no-op; vacuum afterwards only touches files the
     # CURRENT snapshot doesn't reference (older kept snapshots may lose
     # files — that is vacuum's documented contract, not expire's)
-    assert t.expire_snapshots(keep=keep) == {"snapshots_removed": 0, "files_removed": 0}
+    assert t.expire_snapshots(keep=keep) == {
+        "snapshots_removed": 0,
+        "files_removed": 0,
+        "shard_files_removed": 0,
+    }
     cur = {tuple(r) for r in t.read(spark).select("conv_id", "text").collect()}
     t.vacuum()
     assert {tuple(r) for r in t.read(spark).select("conv_id", "text").collect()} == cur
