@@ -148,6 +148,17 @@ class SyncConfig:
     # the key/envelope columns.
     transforms: tuple[str, ...] = ()
 
+    # multi-table fan-out: max destination tables applied CONCURRENTLY per
+    # micro-batch (driver thread pool; the reference runs its per-table
+    # batcher->sinker pipelines concurrently too,
+    # Mysql2MysqlTaskInfoManager.scala:178). Per-table commits are
+    # race-safe and destinations are disjoint, so the only serialization
+    # the loop had was the driver's own per-apply planning cost (~1.5 s
+    # fixed per batch — BENCH/NOTES.md); with T tables that made a batch
+    # cost T x planning even when the cluster was idle. 1 = the old
+    # serial loop.
+    multi_apply_parallelism: int = 8
+
     # columns never projected into the target (event-envelope columns)
     envelope_cols: tuple[str, ...] = ("lsn", "op", "commit_ts", "txn_id", "schema_ver")
 

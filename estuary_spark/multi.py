@@ -129,6 +129,74 @@ def route_tables(df: DataFrame, cfg: SyncConfig) -> DataFrame:
     return df.withColumn(DST_COL, dst)
 
 
+def _apply_fanout(
+    spark: SparkSession,
+    batch: DataFrame,
+    cfg: SyncConfig,
+    tables: dict,
+    batch_id: int,
+    offset_range,
+    check_applied_range: bool = True,
+) -> list:
+    """Fan one routed micro-batch out to its destination tables, applying
+    up to ``cfg.multi_apply_parallelism`` tables CONCURRENTLY (driver
+    thread pool). Returns ``[(dst, sub_cfg, BatchResult), ...]``.
+
+    Why concurrency is safe here: destinations are disjoint LakeTables
+    (per-table snapshots, applied ranges, schema), commits are optimistic
+    put-if-absent (tables.py), and the shared input is one persisted
+    DataFrame that each task only filters. Why it matters at the
+    reference's shape: estuary runs its 23 per-table batcher->sinker
+    pipelines concurrently (``Mysql2MysqlTaskInfoManager.scala:178`` in
+    /root/reference); a serial loop pays T x the fixed per-apply driver
+    planning cost (~1.5 s/batch, BENCH/NOTES.md) even when executors are
+    idle — wall should be ~max(table) not sum(tables). Each worker tags
+    its jobs with a scheduler-pool property so a FAIR-scheduled session
+    (``spark.scheduler.mode=FAIR``) shares executors evenly; under the
+    default FIFO scheduler the jobs still interleave whenever the head
+    job leaves cores idle (always true for the driver-side planning
+    phase). Table creation and table-level ops stay in the caller's
+    thread — only per-table applies run concurrently.
+    """
+    dsts = sorted(r[0] for r in batch.select(DST_COL).distinct().collect())
+    for dst in dsts:
+        if dst not in tables:
+            scfg = _sub_cfg(cfg, dst)
+            sub = batch.filter(F.col(DST_COL) == dst).drop(DST_COL, cfg.table_col)
+            tables[dst] = open_or_create_table(spark, scfg, sub)
+
+    def one(dst: str):
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "multi-apply")
+        scfg = _sub_cfg(cfg, dst)
+        sub = batch.filter(F.col(DST_COL) == dst).drop(DST_COL, cfg.table_col)
+        # fence late pre-truncate/pre-drop events arriving in later
+        # batches: a truncated key must not be resurrected by a straggler
+        # below the op watermark (literal predicate, pushed into the scan)
+        fence = int(tables[dst].properties().get("table_ops_lsn", -1))
+        if fence >= 0:
+            sub = sub.filter(F.col(cfg.lsn_col) > fence)
+        res = apply_batch(
+            spark,
+            tables[dst],
+            sub,
+            scfg,
+            batch_id,
+            offset_range=offset_range,
+            check_applied_range=check_applied_range,
+        )
+        if scfg.lineage_dir and res.lineage:
+            append_lineage(spark, scfg.lineage_dir, res.lineage)
+        return dst, scfg, res
+
+    workers = max(1, min(int(cfg.multi_apply_parallelism), len(dsts) or 1))
+    if workers == 1 or len(dsts) <= 1:
+        return [one(d) for d in dsts]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=workers, thread_name_prefix="multi-apply") as ex:
+        return [f.result() for f in [ex.submit(one, d) for d in dsts]]
+
+
 def _sub_cfg(cfg: SyncConfig, dst: str) -> SyncConfig:
     """Per-destination-table view of the task config: the source-table and
     routing columns join the envelope so they never enter the target
@@ -204,22 +272,10 @@ def run_sync_multi(
         # the collect inside also materializes the batch cache the
         # per-table applies below reuse
         batch = _apply_table_ops(raw, cfg, tables)
-        # the destinations present in this batch: driver result is O(#tables)
-        dsts = sorted(r[0] for r in batch.select(DST_COL).distinct().collect())
-        for dst in dsts:
-            scfg = _sub_cfg(cfg, dst)
-            sub = batch.filter(F.col(DST_COL) == dst).drop(DST_COL, cfg.table_col)
-            if dst not in tables:
-                tables[dst] = open_or_create_table(spark, scfg, sub)
-            # fence late pre-truncate events arriving in later batches: a
-            # truncated key must not be resurrected by a straggler below
-            # the op watermark (literal predicate, pushed into the scan)
-            fence = int(tables[dst].properties().get("table_ops_lsn", -1))
-            if fence >= 0:
-                sub = sub.filter(F.col(cfg.lsn_col) > fence)
-            res = apply_batch(
-                spark, tables[dst], sub, scfg, batch_id, offset_range=(lo, hi)
-            )
+        # concurrent per-table fan-out (see _apply_fanout)
+        for dst, _scfg, res in _apply_fanout(
+            spark, batch, cfg, tables, batch_id, offset_range=(lo, hi)
+        ):
             stats = per_table.setdefault(
                 dst, {"batches_run": 0, "rows_upserted": 0, "rows_deleted": 0}
             )
@@ -227,8 +283,6 @@ def run_sync_multi(
                 stats["batches_run"] += 1
                 stats["rows_upserted"] += sum(r["rows_upserted"] for r in res.lineage)
                 stats["rows_deleted"] += sum(r["rows_deleted"] for r in res.lineage)
-            if scfg.lineage_dir and res.lineage:
-                append_lineage(spark, scfg.lineage_dir, res.lineage)
         raw.unpersist()
         last_lsn = hi
         batch_id += 1
@@ -266,31 +320,18 @@ def run_sync_streaming_multi(
         sess = batch_df.sparkSession
         raw = route_tables(batch_df, cfg).persist(StorageLevel.MEMORY_AND_DISK)
         routed = _apply_table_ops(raw, cfg, tables)
-        dsts = sorted(r[0] for r in routed.select(DST_COL).distinct().collect())
         stats["batches"] += 1
-        for dst in dsts:
-            scfg = _sub_cfg(cfg, dst)
-            sub = routed.filter(F.col(DST_COL) == dst).drop(DST_COL, cfg.table_col)
-            if dst not in tables:
-                tables[dst] = open_or_create_table(sess, scfg, sub)
-            fence = int(tables[dst].properties().get("table_ops_lsn", -1))
-            if fence >= 0:
-                sub = sub.filter(F.col(cfg.lsn_col) > fence)
-            res = apply_batch(
-                sess,
-                tables[dst],
-                sub,
-                scfg,
-                int(batch_id),
-                offset_range=None,
-                check_applied_range=False,
-            )
+        # concurrent per-table fan-out (see _apply_fanout); file batches
+        # carry no planned offset range, so replay safety rests on each
+        # table's wins==0 no-op detection (check_applied_range=False)
+        for dst, _scfg, res in _apply_fanout(
+            sess, routed, cfg, tables, int(batch_id),
+            offset_range=None, check_applied_range=False,
+        ):
             t = stats["tables"].setdefault(dst, {"batches_run": 0, "rows_upserted": 0})
             if not res.skipped:
                 t["batches_run"] += 1
                 t["rows_upserted"] += sum(r["rows_upserted"] for r in res.lineage)
-            if scfg.lineage_dir and res.lineage:
-                append_lineage(sess, scfg.lineage_dir, res.lineage)
         raw.unpersist()
 
     writer = (

@@ -205,3 +205,50 @@ def test_multi_table_blacklist(spark, tmpdir_path):
     s = run_sync_multi(spark, cfg, events_per_batch=100)
     assert set(s["tables"]) == {"db1.conv_a", "db1.conv_b"}
     assert not os.path.exists(os.path.join(cfg.target_table_dir, "db2.audit"))
+
+
+def test_parallel_fanout_matches_serial(spark, tmpdir_path):
+    """The concurrent per-table fan-out (multi_apply_parallelism > 1) is a
+    pure scheduling change: final per-table state is identical to the
+    serial loop's, across several batches with inserts/updates/deletes
+    spread over 10 destination tables."""
+    n, T = 3000, 10
+    df = spark.range(n).select(
+        F.col("id").alias("lsn"),
+        F.when(F.pmod("id", F.lit(10)) < 8, F.lit("insert"))
+        .when(F.pmod("id", F.lit(10)) < 9, F.lit("update"))
+        .otherwise(F.lit("delete"))
+        .alias("op"),
+        F.concat(F.lit("db.t"), F.pmod("id", F.lit(T)).cast("string")).alias("src_table"),
+        F.concat(F.lit("c"), F.pmod("id", F.lit(60)).cast("string")).alias("conv_id"),
+        F.pmod("id", F.lit(7)).cast("int").alias("turn_idx"),
+        F.md5(F.col("id").cast("string")).alias("text"),
+    )
+    df.repartitionByRange(3, "lsn").write.mode("overwrite").parquet(
+        os.path.join(tmpdir_path, "log")
+    )
+
+    def run(par, tag):
+        cfg = SyncConfig(
+            source_log_dir=os.path.join(tmpdir_path, "log"),
+            target_table_dir=os.path.join(tmpdir_path, f"tables-{tag}"),
+            n_buckets=2,
+            envelope_cols=("lsn", "op"),
+            table_col="src_table",
+            multi_apply_parallelism=par,
+        )
+        s = run_sync_multi(spark, cfg, events_per_batch=1000)
+        return cfg, s
+
+    cfg1, s1 = run(1, "serial")
+    cfg8, s8 = run(8, "parallel")
+    assert s1["tables"] == s8["tables"]  # identical per-table stats
+    state1 = {
+        (r["_dst_table"], r["conv_id"], r["turn_idx"], r["text"])
+        for r in read_final_state_multi(spark, cfg1).collect()
+    }
+    state8 = {
+        (r["_dst_table"], r["conv_id"], r["turn_idx"], r["text"])
+        for r in read_final_state_multi(spark, cfg8).collect()
+    }
+    assert state1 == state8 and len(state1) > 0
