@@ -406,6 +406,111 @@ FROM w WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def q_cdc_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-string DDL ingestion (the reference parses MySQL DDL text with
+    ANTLR into SchemaChange ops — ``SchemaChange.java:70-110``,
+    ``mysql/schema/Parser.scala:29-64`` in /root/reference; here
+    ``estuary_spark.ddl`` lowers the same statements onto the structured
+    table ops): at the log's midpoint LSN, a ``TRUNCATE TABLE`` statement
+    truncates db1.conv_a and an ``ALTER TABLE .. ADD COLUMN tool``
+    statement declares the ``tool`` column on db1.conv_b (renamed
+    conv_b_renamed). ``tool`` is connector noise until declared
+    (envelope), and the ADD COLUMN's semantics are LSN-exact: events
+    at/below the DDL's LSN read it as NULL — so the fold is
+    batch-boundary-independent and exactly what the oracle's
+    ``lsn > t_op`` CASE states."""
+    from estuary_spark.config import SyncConfig
+    from estuary_spark.multi import read_final_state_multi, run_sync_multi
+
+    work = tempfile.mkdtemp(prefix="estuary-gate-ddlsql-")
+    log_dir = os.path.join(work, "log")
+    base = (
+        _derive_cdc_log(spark, sf_dir)
+        .withColumn(
+            "src_table",
+            F.when(F.pmod(F.col("lsn"), F.lit(3)) == 0, F.lit("db1.conv_a"))
+            .when(F.pmod(F.col("lsn"), F.lit(3)) == 1, F.lit("db1.conv_b"))
+            .otherwise(F.lit("db2.audit")),
+        )
+        .withColumn(
+            "tool", F.concat(F.lit("tl"), F.pmod(F.col("lsn"), F.lit(7)).cast("string"))
+        )
+    )
+    lo, hi = base.agg(F.min("lsn"), F.max("lsn")).first()
+    t_op = (int(lo) + int(hi)) // 2
+    # base column order: lsn, op, conv_id, turn_idx, text, src_table, tool;
+    # the DDL statement rides in `text` (cfg.ddl_sql_col default)
+    ops = spark.createDataFrame(
+        [
+            (t_op, "ddl", None, None, "TRUNCATE TABLE db1.conv_a", "db1.conv_a", None),
+            (
+                t_op,
+                "ddl",
+                None,
+                None,
+                "ALTER TABLE db1.conv_b ADD COLUMN tool VARCHAR(64)",
+                "db1.conv_b",
+                None,
+            ),
+        ],
+        base.schema,
+    )
+    base.unionByName(ops).repartitionByRange(4, "lsn").write.parquet(log_dir)
+    cfg = SyncConfig(
+        source_log_dir=log_dir,
+        target_table_dir=os.path.join(work, "tables"),
+        n_buckets=4,
+        envelope_cols=("lsn", "op", "tool"),  # tool undeclared until the DDL
+        table_col="src_table",
+        table_filter=r"^db1\.",
+        table_renames={"db1.conv_b": "conv_b_renamed"},
+    )
+    run_sync_multi(spark, cfg, events_per_batch=2000)
+    final = read_final_state_multi(spark, cfg)
+    return final.select(
+        F.col("_dst_table").alias("dst_table"),
+        "conv_id",
+        "turn_idx",
+        "text",
+        F.col("tool"),
+        "_lsn",
+    )
+
+
+_CDC_DDL_SQL_ORACLE = f"""
+WITH base AS ({_CDC_ORACLE_LOG}),
+cut AS (SELECT (MIN(lsn) + MAX(lsn)) // 2 AS t_op FROM base),
+log AS (
+    SELECT *,
+           CASE CAST(lsn % 3 AS INTEGER)
+                WHEN 0 THEN 'db1.conv_a'
+                WHEN 1 THEN 'db1.conv_b'
+                ELSE 'db2.audit' END AS src_table,
+           'tl' || CAST(CAST(lsn % 7 AS INTEGER) AS VARCHAR) AS tool
+    FROM base
+),
+f AS (
+    SELECT *,
+           CASE WHEN src_table = 'db1.conv_b' THEN 'conv_b_renamed'
+                ELSE src_table END AS dst_table
+    FROM log
+    WHERE regexp_matches(src_table, '^db1\\.')
+      AND (src_table <> 'db1.conv_a' OR lsn > (SELECT t_op FROM cut))
+),
+w AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY dst_table, conv_id, turn_idx ORDER BY lsn DESC
+    ) AS rn
+    FROM f
+)
+SELECT dst_table, conv_id, turn_idx, text,
+       CASE WHEN dst_table = 'conv_b_renamed' AND lsn > (SELECT t_op FROM cut)
+            THEN tool END AS tool,
+       lsn AS _lsn
+FROM w WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def q_cdc_fold_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Structured Streaming front-end end-to-end: readStream over the
     log files (modification-time order, NOT LSN order), foreachBatch
@@ -784,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_transcript_stats": q_incremental_transcript_stats,
         "cdc_multi_table": q_cdc_multi_table,
         "cdc_multi_table_ops": q_cdc_multi_table_ops,
+        "cdc_ddl_sql": q_cdc_ddl_sql,
         "cdc_fold_streaming": q_cdc_fold_streaming,
         "cdc_fold_declarative": q_cdc_fold_declarative,
         "cdc_latest_per_user": q_cdc_latest_per_user,
@@ -828,6 +934,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_multi_table": _CDC_MULTI_ORACLE,
         "cdc_multi_table_ops": _CDC_MULTI_OPS_ORACLE,
+        "cdc_ddl_sql": _CDC_DDL_SQL_ORACLE,
         "cdc_fold_streaming": _CDC_ORACLE_FOLD,
         "cdc_fold_declarative": _CDC_ORACLE_FOLD,
         "transcript_stats": f"""

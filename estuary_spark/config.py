@@ -159,6 +159,14 @@ class SyncConfig:
     # serial loop.
     multi_apply_parallelism: int = 8
 
+    # SQL-string DDL ingestion (multi-table pipeline): events whose op
+    # equals ``ddl_op`` carry a DDL statement as text in ``ddl_sql_col``
+    # (a Canal/Debezium/Maxwell query event; the reference parses these
+    # with ANTLR, SchemaChange.java:70-110 — here estuary_spark.ddl lowers
+    # them onto the structured truncate/drop/evolve/rename ops)
+    ddl_op: str = "ddl"
+    ddl_sql_col: str = "text"
+
     # columns never projected into the target (event-envelope columns)
     envelope_cols: tuple[str, ...] = ("lsn", "op", "commit_ts", "txn_id", "schema_ver")
 

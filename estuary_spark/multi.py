@@ -56,51 +56,170 @@ OP_DROP_TABLE = "drop_table"
 TABLE_OPS = (OP_TRUNCATE, OP_DROP_TABLE)
 
 
-def _apply_table_ops(batch: DataFrame, cfg: SyncConfig, tables: dict) -> DataFrame:
-    """Execute the batch's table-level ops and return the batch with op
-    events and superseded row events removed.
+def _route_name(cfg: SyncConfig, src_name: str) -> str:
+    """Destination table name for a source table name (the T4 rename map,
+    applied to table names parsed out of DDL text)."""
+    return cfg.table_renames.get(src_name, src_name) if cfg.table_renames else src_name
 
-    Semantics: the LATEST table-level op per destination wins; row events
-    at or below its LSN are superseded (they describe pre-truncate/drop
-    state). ``truncate`` commits an empty snapshot keeping applied-range
-    bookkeeping + an op watermark (replay-safe); ``drop_table`` is a
-    LOGICAL drop — the same empty snapshot plus a ``dropped_at_lsn``
-    marker, so the ``table_ops_lsn`` fence survives and a pre-drop
-    straggler event arriving in a later micro-batch (the streaming
-    front-end delivers file batches in modification-time order, not LSN
-    order) cannot resurrect stale state. Physical removal is deferred to
-    ``maintenance.purge_dropped_tables`` (which also clears the marker if
-    post-drop events recreated the table). Driver cost is O(#tables with
-    ops); the row-event filter is a literal predicate pushed into the scan.
-    """
-    ops = (
-        batch.filter(F.col(cfg.op_col).isin(*TABLE_OPS))
-        .groupBy(DST_COL)
-        .agg(
-            F.max_by(F.col(cfg.op_col), F.col(cfg.lsn_col)).alias("op"),
-            F.max(cfg.lsn_col).alias("at"),
+
+def _rename_table(cfg: SyncConfig, tables: dict, old_dst: str, new_dst: str, at: int) -> None:
+    """Lower ``RENAME TABLE a TO b``: the destination directory moves so
+    existing data follows the rename; subsequent events arrive under the
+    new source name and route there naturally. The OLD name is left as a
+    fenced empty tombstone table (``table_ops_lsn`` + dropped marker), so
+    replayed or straggler events carrying the old name at/below the
+    rename's LSN cannot recreate pre-rename state — replay from LSN 0
+    converges to the post-rename layout. The tombstone is physically
+    removed by ``maintenance.purge_dropped_tables``. Idempotent: if the
+    new destination already exists the move already happened."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    old_dir = os.path.join(cfg.target_table_dir, old_dst)
+    new_dir = os.path.join(cfg.target_table_dir, new_dst)
+    t_old = LakeTable(old_dir)
+    if not t_old.exists() or LakeTable(new_dir).exists():
+        return  # nothing to carry, or replay after the move
+    m_old = t_old.manifest()
+    shutil.move(old_dir, new_dir)
+    tables.pop(old_dst, None)
+    tables.pop(new_dst, None)
+    LakeTable(new_dir).commit_metadata(
+        extra_properties={"renamed_from": old_dst, "renamed_at_lsn": int(at)}
+    )
+    tomb = LakeTable.create(
+        old_dir,
+        T.StructType.fromJson(m_old["schema"]),
+        n_buckets=int(m_old["n_buckets"]),
+        key_cols=list(m_old["key_cols"]),
+        shard_buckets=int(m_old.get("shard_buckets", 0)) or None,
+    )
+    tomb.truncate(
+        at_lsn=at, extra_properties={"dropped_at_lsn": int(at), "renamed_to": new_dst}
+    )
+
+
+def _add_columns(
+    cfg: SyncConfig, tables: dict, dst: str, cols: list, at: int, batch: DataFrame
+) -> None:
+    """Lower ``ALTER TABLE .. ADD COLUMN``: additive schema evolution plus
+    a ``column_added_lsns`` record. The record makes the new column's
+    semantics LSN-exact and batch-boundary-independent: events at or below
+    the DDL's LSN read the column as NULL (pre-DDL binlog rows physically
+    had no such column — a connector back-filling values there is noise),
+    enforced as a literal mask in the fan-out (see ``_apply_fanout``). A
+    replay therefore converges to the identical final state regardless of
+    how batches were cut. A destination that doesn't exist yet is created
+    from the batch's (envelope-stripped) schema first, so an ADD COLUMN
+    landing in the same micro-batch as the table's first row events —
+    ops run before the fan-out — still applies."""
+    from pyspark.sql import types as T
+
+    tdir = os.path.join(cfg.target_table_dir, dst)
+    t = LakeTable(tdir)
+    if not t.exists():
+        scfg = _sub_cfg(cfg, dst)
+        sub = batch.filter(F.col(DST_COL) == dst).drop(DST_COL, cfg.table_col)
+        t = open_or_create_table(batch.sparkSession, scfg, sub)
+    added = dict(t.properties().get("column_added_lsns", {}))
+    for name, _dtype in cols:
+        added[name] = max(int(at), int(added.get(name, -1)))
+    t.evolve_schema(
+        T.StructType([T.StructField(n, dt, True) for n, dt in cols]),
+        extra_properties={"column_added_lsns": added},
+    )
+    tables.pop(dst, None)  # reopen so the fan-out sees the new schema
+
+
+def _apply_table_ops(batch: DataFrame, cfg: SyncConfig, tables: dict) -> DataFrame:
+    """Execute the batch's table-level ops — structured events
+    (op in ``TABLE_OPS``) AND SQL-string DDL events (op == ``cfg.ddl_op``
+    carrying the statement in ``cfg.ddl_sql_col``; parsed by
+    ``estuary_spark.ddl``, the shim for the reference's ANTLR DDL path,
+    ``SchemaChange.java:70-110`` / ``Parser.scala:29-64``) — and return
+    the batch with op events and superseded row events removed.
+
+    Semantics: ops apply in LSN order. For truncate/drop the LATEST op
+    per destination wins and row events at or below its LSN are
+    superseded (they describe pre-op state). ``truncate`` commits an
+    empty snapshot keeping applied-range bookkeeping + an op watermark
+    (replay-safe); ``drop_table`` is a LOGICAL drop — the same empty
+    snapshot plus a ``dropped_at_lsn`` marker, so the ``table_ops_lsn``
+    fence survives and a pre-drop straggler event arriving in a later
+    micro-batch (the streaming front-end delivers file batches in
+    modification-time order, not LSN order) cannot resurrect stale state;
+    physical removal is deferred to ``maintenance.purge_dropped_tables``.
+    ``ADD COLUMN`` evolves additively with an LSN-exact NULL mask
+    (``_add_columns``); ``RENAME TABLE`` moves the destination
+    (``_rename_table``); ``MODIFY COLUMN`` and unparseable statements are
+    deliberate no-ops (type changes are handled when the DATA changes,
+    per the ``on_type_change`` policy — apply.py). Driver cost is
+    O(#op events); the row-event filter is a literal predicate pushed
+    into the scan."""
+    is_op = F.col(cfg.op_col).isin(*TABLE_OPS) | (F.col(cfg.op_col) == cfg.ddl_op)
+    sql_col = (
+        F.col(cfg.ddl_sql_col) if cfg.ddl_sql_col in batch.columns else F.lit(None)
+    )
+    rows = (
+        batch.filter(is_op)
+        .select(
+            F.col(DST_COL).alias("dst"),
+            F.col(cfg.op_col).alias("op"),
+            F.col(cfg.lsn_col).alias("at"),
+            sql_col.cast("string").alias("sql"),
         )
+        .orderBy("at")
         .collect()
     )
-    if not ops:
+    if not rows:
         return batch
 
-    for r in ops:
-        dst, at = r[DST_COL], int(r["at"])
-        tdir = os.path.join(cfg.target_table_dir, dst)
-        t = LakeTable(tdir)
+    from estuary_spark.ddl import parse_ddl
+
+    # lower to (dst, kind, at, extra) in LSN order; DDL table names route
+    # through the same rename map as the event stream (T4)
+    events: list[tuple] = []
+    for r in rows:
+        if r["op"] in TABLE_OPS:
+            events.append((r["dst"], r["op"], int(r["at"]), None))
+            continue
+        p = parse_ddl(r["sql"] or "")
+        kind = p["op"]
+        if kind in (OP_TRUNCATE, OP_DROP_TABLE):
+            events.append((_route_name(cfg, p["table"]), kind, int(r["at"]), None))
+        elif kind == "add_column":
+            events.append((_route_name(cfg, p["table"]), kind, int(r["at"]), p["columns"]))
+        elif kind == "rename_table":
+            events.append(
+                (_route_name(cfg, p["table"]), kind, int(r["at"]), _route_name(cfg, p["to"]))
+            )
+        # modify_column / unsupported: deliberate no-op (see docstring)
+
+    fences: dict[str, int] = {}  # dst -> latest truncate/drop LSN this batch
+    for dst, kind, at, extra in events:
+        if kind == "add_column":
+            _add_columns(cfg, tables, dst, extra, at, batch)
+            continue
+        if kind == "rename_table":
+            _rename_table(cfg, tables, dst, extra, at)
+            continue
+        t = LakeTable(os.path.join(cfg.target_table_dir, dst))
+        fences[dst] = max(at, fences.get(dst, -1))
         if not t.exists():
             continue  # op before any row event created the table
         if int(t.properties().get("table_ops_lsn", -1)) >= at:
             continue  # replayed batch: op already executed
-        if r["op"] == OP_DROP_TABLE:
+        if kind == OP_DROP_TABLE:
             t.truncate(at_lsn=at, extra_properties={"dropped_at_lsn": at})
         else:
             t.truncate(at_lsn=at)
-    cond = None
-    for r in ops:
-        this = (F.col(DST_COL) == r[DST_COL]) & (F.col(cfg.lsn_col) <= int(r["at"]))
-        cond = this if cond is None else cond | this
+
+    # remove op events themselves plus row events superseded by a
+    # truncate/drop (literal predicates, pushed into the scan)
+    cond = is_op
+    for dst, at in fences.items():
+        cond = cond | ((F.col(DST_COL) == dst) & (F.col(cfg.lsn_col) <= at))
     return batch.filter(~cond)
 
 
@@ -172,9 +291,18 @@ def _apply_fanout(
         # fence late pre-truncate/pre-drop events arriving in later
         # batches: a truncated key must not be resurrected by a straggler
         # below the op watermark (literal predicate, pushed into the scan)
-        fence = int(tables[dst].properties().get("table_ops_lsn", -1))
+        props = tables[dst].properties()
+        fence = int(props.get("table_ops_lsn", -1))
         if fence >= 0:
             sub = sub.filter(F.col(cfg.lsn_col) > fence)
+        # LSN-exact mask for DDL-added columns: events at/below the ADD
+        # COLUMN's LSN read the column as NULL (see multi._add_columns) —
+        # a literal when() expression, JVM-side, batch-independent
+        for c, added_at in props.get("column_added_lsns", {}).items():
+            if c in sub.columns:
+                sub = sub.withColumn(
+                    c, F.when(F.col(cfg.lsn_col) > int(added_at), F.col(c))
+                )
         res = apply_batch(
             spark,
             tables[dst],

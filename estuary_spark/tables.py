@@ -1028,16 +1028,23 @@ class LakeTable:
 
         return self._publish_with_rebase(self.manifest(), build)
 
-    def evolve_schema(self, new_schema: T.StructType) -> int:
+    def evolve_schema(
+        self, new_schema: T.StructType, extra_properties: dict | None = None
+    ) -> int:
         """Additive schema evolution between micro-batches (metadata-only
         commit — the DDL-barrier analogue, SURVEY.md D4: schema changes
-        apply when the pipeline is drained, i.e. between batches)."""
+        apply when the pipeline is drained, i.e. between batches).
+        ``extra_properties`` lets the caller record op bookkeeping (e.g.
+        the DDL shim's ``column_added_lsns``) in the same snapshot."""
         def build(m: dict) -> dict:
             old = T.StructType.fromJson(m["schema"])
             merged = T.StructType(list(old.fields))
             for f in new_schema.fields:
                 if f.name not in merged.names:
                     merged = merged.add(f.name, f.dataType, True)
+            props = dict(m.get("properties", {}))
+            if extra_properties:
+                props.update(extra_properties)
             return {
                 "version": m["version"] + 1,
                 "parent": m["version"],
@@ -1047,7 +1054,7 @@ class LakeTable:
                 "shard_buckets": m.get("shard_buckets", DEFAULT_SHARD_BUCKETS),
                 "files": m["files"],
                 "delta_files": m.get("delta_files", {}),
-                "properties": m.get("properties", {}),
+                "properties": props,
             }
 
         return self._publish_with_rebase(self.manifest(), build)

@@ -1,0 +1,180 @@
+"""SQL-string DDL ingestion (estuary parses MySQL DDL with ANTLR into
+SchemaChange ops — SchemaChange.java:70-110, mysql/schema/Parser.scala:
+29-64 in /root/reference; here estuary_spark.ddl lowers the same
+statements onto the structured table ops): parse coverage, end-to-end
+lowering through the multi-table sync, LSN-exact ADD COLUMN semantics,
+rename, and replay convergence."""
+
+import os
+
+from pyspark.sql import functions as F, types as T
+
+from estuary_spark.config import SyncConfig
+from estuary_spark.ddl import parse_ddl
+from estuary_spark.multi import read_final_state_multi, run_sync_multi
+from estuary_spark.tables import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("src_table", T.StringType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+    ]
+)
+COLS = SCHEMA
+
+
+def test_parse_ddl_statements():
+    assert parse_ddl("TRUNCATE TABLE db1.a") == {"op": "truncate", "table": "db1.a"}
+    assert parse_ddl("truncate `t`;") == {"op": "truncate", "table": "t"}
+    assert parse_ddl("DROP TABLE IF EXISTS db1.b") == {"op": "drop_table", "table": "db1.b"}
+    assert parse_ddl("RENAME TABLE a TO b") == {"op": "rename_table", "table": "a", "to": "b"}
+    assert parse_ddl("ALTER TABLE a RENAME TO b") == {
+        "op": "rename_table", "table": "a", "to": "b",
+    }
+    p = parse_ddl("ALTER TABLE t ADD COLUMN x INT NOT NULL DEFAULT 0, ADD y DECIMAL(10,2)")
+    assert p["op"] == "add_column" and p["table"] == "t"
+    assert p["columns"] == [("x", T.IntegerType()), ("y", T.DecimalType(10, 2))]
+    assert parse_ddl("ALTER TABLE t ADD COLUMN c VARCHAR(64) AFTER b")["columns"] == [
+        ("c", T.StringType())
+    ]
+    assert parse_ddl("ALTER TABLE t MODIFY COLUMN c TEXT")["op"] == "modify_column"
+    assert parse_ddl("CREATE INDEX i ON t (c)")["op"] == "unsupported"
+    assert parse_ddl("")["op"] == "unsupported"
+    assert parse_ddl("garbage ( (")["op"] == "unsupported"  # never raises
+
+
+def _mk_cfg(tmpdir_path, **kw):
+    base = dict(
+        source_log_dir=os.path.join(tmpdir_path, "log"),
+        target_table_dir=os.path.join(tmpdir_path, "tables"),
+        checkpoint_path=os.path.join(tmpdir_path, "ckpt.json"),
+        n_buckets=2,
+        # `tool` stays envelope (never auto-projected) until a DDL
+        # declares it — the connector-noise contract
+        envelope_cols=("lsn", "op", "tool"),
+        table_col="src_table",
+    )
+    base.update(kw)
+    return SyncConfig(**base)
+
+
+def _state(spark, cfg):
+    return {
+        (r["_dst_table"], r["conv_id"], r["turn_idx"], r["text"],
+         r["tool"] if "tool" in r.__fields__ else None)
+        for r in read_final_state_multi(spark, cfg).collect()
+    }
+
+
+def test_ddl_truncate_add_column_end_to_end(spark, tmpdir_path):
+    """DDL as text mid-log: TRUNCATE supersedes older rows; ADD COLUMN
+    projects the declared column ONLY for events above the DDL's LSN
+    (LSN-exact, batch-boundary-independent); replay converges."""
+    rows = [
+        (1, "insert", "db1.a", "c1", 0, "a1", "x1"),
+        (2, "insert", "db1.b", "k1", 0, "b1", "x2"),   # pre-DDL tool = noise
+        (3, "insert", "db1.a", "c2", 0, "a2", "x3"),
+        (4, "ddl", "db1.a", None, None, "TRUNCATE TABLE db1.a", None),
+        (5, "ddl", "db1.b", None, None,
+         "ALTER TABLE db1.b ADD COLUMN tool VARCHAR(64)", None),
+        (6, "insert", "db1.a", "c3", 0, "a3", "x6"),   # post-truncate; no DDL for a
+        (7, "update", "db1.b", "k1", 0, "b1-v2", "t7"),  # post-DDL: tool flows
+        (8, "insert", "db1.b", "k2", 1, "b2", "t8"),
+    ]
+    df = spark.createDataFrame(rows, COLS)
+    df.repartitionByRange(2, "lsn").write.mode("overwrite").parquet(
+        os.path.join(tmpdir_path, "log")
+    )
+    cfg = _mk_cfg(tmpdir_path)
+    run_sync_multi(spark, cfg, events_per_batch=3)
+
+    expect = {
+        ("db1.a", "c3", 0, "a3", None),        # truncated at 4; no tool DDL
+        ("db1.b", "k1", 0, "b1-v2", "t7"),     # winner above DDL lsn 5
+        ("db1.b", "k2", 1, "b2", "t8"),
+    }
+    assert _state(spark, cfg) == expect
+    tb = LakeTable(os.path.join(cfg.target_table_dir, "db1.b"))
+    assert tb.properties()["column_added_lsns"] == {"tool": 5}
+    assert "tool" in tb.schema.names
+    ta = LakeTable(os.path.join(cfg.target_table_dir, "db1.a"))
+    assert "tool" not in ta.schema.names  # no DDL for a -> stays envelope
+
+    # replay from scratch converges (ops watermark-guarded, ranges replayed)
+    cfg2 = _mk_cfg(tmpdir_path)
+    os.remove(cfg2.checkpoint_path)
+    run_sync_multi(spark, cfg2, events_per_batch=3)
+    assert _state(spark, cfg2) == expect
+
+    # different batch cut -> same state (LSN-exact mask, not batch-based)
+    import shutil
+
+    shutil.rmtree(cfg.target_table_dir)
+    os.remove(cfg.checkpoint_path)
+    cfg3 = _mk_cfg(tmpdir_path)
+    run_sync_multi(spark, cfg3, events_per_batch=2)
+    assert _state(spark, cfg3) == expect
+
+    # single-batch edge: the DDL is in the SAME batch as the tables' first
+    # row events (ops run before the fan-out) — ADD COLUMN creates the
+    # missing destination from the batch schema, truncate's supersede
+    # filter handles the rest; state is unchanged
+    shutil.rmtree(cfg.target_table_dir)
+    os.remove(cfg.checkpoint_path)
+    cfg4 = _mk_cfg(tmpdir_path)
+    run_sync_multi(spark, cfg4, events_per_batch=100)
+    assert _state(spark, cfg4) == expect
+
+
+def test_ddl_drop_and_rename(spark, tmpdir_path):
+    """DROP TABLE as text lowers to the logical drop (fenced empty
+    snapshot); RENAME TABLE moves the destination so existing data
+    follows, and post-rename events under the new source name land on it."""
+    rows = [
+        (1, "insert", "db1.a", "c1", 0, "a1", None),
+        (2, "insert", "db1.gone", "g1", 0, "g1", None),
+        (3, "ddl", "db1.gone", None, None, "DROP TABLE IF EXISTS db1.gone", None),
+        (4, "ddl", "db1.a", None, None, "RENAME TABLE db1.a TO db1.a2", None),
+        (5, "update", "db1.a2", "c1", 0, "a1-v2", None),
+        (6, "insert", "db1.a2", "c2", 1, "a2", None),
+    ]
+    df = spark.createDataFrame(rows, COLS)
+    df.repartitionByRange(2, "lsn").write.mode("overwrite").parquet(
+        os.path.join(tmpdir_path, "log")
+    )
+    cfg = _mk_cfg(tmpdir_path)
+    # one event per batch so the insert's batch precedes the drop's (a
+    # coarser cut where both share a batch is also correct — the drop
+    # supersedes the insert and the table is simply never created)
+    run_sync_multi(spark, cfg, events_per_batch=1)
+
+    root = cfg.target_table_dir
+    gone = LakeTable(os.path.join(root, "db1.gone"))
+    assert int(gone.properties()["dropped_at_lsn"]) == 3  # logical drop
+    assert gone.read(spark).count() == 0
+    a2 = LakeTable(os.path.join(root, "db1.a2"))
+    assert a2.properties()["renamed_from"] == "db1.a"
+    # old name = fenced empty tombstone (purged later by maintenance)
+    ta = LakeTable(os.path.join(root, "db1.a"))
+    assert ta.exists() and ta.read(spark).count() == 0
+    assert int(ta.properties()["table_ops_lsn"]) == 4
+    assert ta.properties()["renamed_to"] == "db1.a2"
+    assert _state(spark, cfg) == {
+        ("db1.a2", "c1", 0, "a1-v2", None),  # pre-rename row carried over + updated
+        ("db1.a2", "c2", 1, "a2", None),
+    }
+
+    # replay converges: rename already done (old gone, new exists), drop
+    # watermark-guarded, row events replay to no-ops
+    cfg2 = _mk_cfg(tmpdir_path)
+    os.remove(cfg2.checkpoint_path)
+    run_sync_multi(spark, cfg2, events_per_batch=2)
+    assert _state(spark, cfg2) == {
+        ("db1.a2", "c1", 0, "a1-v2", None),
+        ("db1.a2", "c2", 1, "a2", None),
+    }
