@@ -229,15 +229,12 @@ def main() -> None:
         print(json.dumps({"metric": "gen", "events": n_events, "sec": round(t_gen, 2)}))
         return
 
-    # the headline metric is SUSTAINED merge-apply throughput
-    # (BASELINE.json): always JIT-warm before the measured pass; the
-    # scaling tool controls warmup explicitly via --warmup
-    apply_res = run_apply(
-        spark, dirs, cpus, warmup=args.warmup or not (args.apply_only or args.gen_only)
-    )
-    eps = n_events / apply_res["wall"]
-
     if args.apply_only:
+        # the headline metric is SUSTAINED merge-apply throughput
+        # (BASELINE.json): always JIT-warm before the measured pass; the
+        # scaling tool controls warmup explicitly via --warmup
+        apply_res = run_apply(spark, dirs, cpus, warmup=args.warmup)
+        eps = n_events / apply_res["wall"]
         out = {
             "metric": "cdc_merge_apply",
             "cpus": cpus,
@@ -252,7 +249,26 @@ def main() -> None:
         print(json.dumps(out))
         return
 
-    queries = {"cdc_apply": round(apply_res["wall"], 3)}
+    # NOISE ROBUSTNESS (VERDICT r3 #4: the official r3 number was 2x off
+    # from box contention): (a) the headline merge-apply runs
+    # $ESTUARY_BENCH_RUNS times (default 3, first one JIT-warmed) and the
+    # MIN is reported — contention only ever adds time, so min is the
+    # engine number; all runs are published alongside; (b) a scaled-down
+    # inline shuffle probe (the DRAM-bandwidth-bound kernel the pipeline
+    # is made of) brackets the suite, so a contaminated run is
+    # self-evident in the JSON: probe_sec far above its quiet-box
+    # reference (~5.8-6.3 s at n=30M / 32 cores, BENCH/BASELINE.md round 4)
+    # invalidates the wall numbers next to it.
+    n_runs = max(1, int(os.environ.get("ESTUARY_BENCH_RUNS", "3")))
+    probe_before = round(machine_shuffle_probe(spark, cpus, n=30_000_000), 2)
+    apply_runs = []
+    for i in range(n_runs):
+        apply_runs.append(run_apply(spark, dirs, cpus, warmup=(i == 0)))
+    probe_after = round(machine_shuffle_probe(spark, cpus, n=30_000_000), 2)
+    best = min(r["wall"] for r in apply_runs)
+    eps = n_events / best
+
+    queries = {"cdc_apply": round(best, 3)}
     queries.update(timed_queries(spark, sf_dir))
 
     out = {
@@ -263,6 +279,8 @@ def main() -> None:
         "sf": sf,
         "cdc_events": n_events,
         "cdc_events_per_sec": round(eps, 1),
+        "cdc_apply_runs": [round(r["wall"], 3) for r in apply_runs],
+        "probe_sec": {"before": probe_before, "after": probe_after},
         "cpus": cpus,
     }
     # fold in the latest two-parallelism scaling evidence (the north-rule
