@@ -391,8 +391,15 @@ def apply_batch(
 
         changes = transform_chain(changes, list(cfg.transforms))
 
-    # ---- salted LWW reduce: one winner per key (P4 + P6)
-    winners = lww_reduce(changes, key_cols, lsn_col="lsn", salt_factor=cfg.salt_factor, op_col="op")
+    # ---- salted LWW reduce: one winner per key (P4 + P6); salt_factor
+    # -1 = per-batch autosalt (engage the second shuffle only on a
+    # detected single-key flood — see operators/lww.py)
+    salt = cfg.salt_factor
+    if salt == -1:
+        from estuary_spark.operators.lww import choose_salt_factor
+
+        salt = choose_salt_factor(changes, key_cols, flood_threshold=cfg.autosalt_threshold)
+    winners = lww_reduce(changes, key_cols, lsn_col="lsn", salt_factor=salt, op_col="op")
 
     # ---- bucket routing (P2): the hash shuffle is the consistent-hash router
     winners = winners.withColumn(BUCKET_COL, bucket_expr(key_cols[0], table.manifest()["n_buckets"]))

@@ -86,8 +86,13 @@ class SyncConfig:
     # full shuffle — only worth it in the pathological case of a single
     # key receiving a large fraction of a batch AND map-side hash-agg
     # spill becoming the bottleneck; it costs a second full-width shuffle
-    # of every batch, so it is off by default.
+    # of every batch, so it is off by default. -1 = AUTOSALT: a cheap
+    # per-batch sampled detector (operators/lww.py choose_salt_factor)
+    # engages the two-phase reduce only when one key's estimated event
+    # count exceeds autosalt_threshold — uniform batches keep the
+    # single-shuffle plan.
     salt_factor: int = 0
+    autosalt_threshold: int = 500_000
 
     # merge strategy (Iceberg ``write.merge.mode`` analogue):
     #   "cow"  — copy-on-write: each batch joins + rewrites touched buckets;

@@ -23,6 +23,50 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def choose_salt_factor(
+    df: DataFrame,
+    key_cols: list[str],
+    flood_threshold: int = 500_000,
+    sample_rows: int = 200_000,
+    seed: int = 7,
+) -> int:
+    """AUTOSALT detector: decide per batch whether the explicit two-phase
+    salted reduce is worth its extra full-width shuffle.
+
+    The map-side partial aggregation absorbs ordinary hot keys, but a
+    single-key FLOOD (one key holding a large fraction of the batch)
+    still lands all its surviving rows on one reduce task — a straggler
+    proportional to the flood size. Salting fixes that but costs a second
+    shuffle of the WHOLE batch, so it must not run on uniform batches
+    (the common case; static config can't know which batches flood —
+    VERDICT r3 #5).
+
+    Detection is two cheap jobs: a count, then a per-key count over a
+    bounded sample (<= ``sample_rows`` rows — the sample's groupBy is a
+    tiny shuffle, not a batch-wide one). The hottest key's estimated
+    event count decides: 0 (no salting, no extra shuffle) unless it
+    exceeds ``flood_threshold``, else a factor sized so each salt
+    sub-group stays around the threshold. A mean-events-per-key ratio
+    (count / approx_count_distinct) cannot see a flood hiding among many
+    uniform keys, which is exactly the pathological shape — hence the
+    sample-max estimator."""
+    n = df.count()
+    if n <= flood_threshold:
+        return 0
+    frac = min(1.0, sample_rows / n)
+    top = (
+        df.sample(fraction=frac, seed=seed)
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("m"))
+        .first()["m"]
+    )
+    est_top = int((top or 0) / frac)
+    if est_top <= flood_threshold:
+        return 0
+    return min(64, 2 * ((est_top + flood_threshold - 1) // flood_threshold))
+
+
 def lww_reduce(
     df: DataFrame,
     key_cols: list[str],

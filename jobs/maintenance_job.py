@@ -47,6 +47,12 @@ def main() -> None:
                     help="keep only the last N manifest versions time-travelable")
     ap.add_argument("--vacuum", action="store_true",
                     help="delete data files unreferenced by any retained manifest")
+    ap.add_argument("--compact-lineage", default=None, metavar="DIR",
+                    help="fold the per-batch lineage files under DIR into one "
+                         "(with --multi, DIR's per-table subdirectories)")
+    ap.add_argument("--purge-dropped", action="store_true",
+                    help="multi-table roots: physically remove logically-dropped "
+                         "destination tables (and clear markers on recreated ones)")
     ap.add_argument("--app-name", default="estuary-spark-maintenance")
     args = ap.parse_args()
 
@@ -88,6 +94,28 @@ def main() -> None:
         if args.vacuum:
             r["vacuumed_files"] = t.vacuum()
         report[root] = r
+
+    if args.compact_lineage:
+        from estuary_spark.lineage import compact_lineage
+
+        if args.multi:
+            dirs = sorted(
+                os.path.join(args.compact_lineage, d)
+                for d in (
+                    os.listdir(args.compact_lineage)
+                    if os.path.isdir(args.compact_lineage)
+                    else []
+                )
+                if os.path.isdir(os.path.join(args.compact_lineage, d))
+            ) or [args.compact_lineage]
+        else:
+            dirs = [args.compact_lineage]
+        report["lineage"] = {d: compact_lineage(d) for d in dirs}
+
+    if args.purge_dropped:
+        from estuary_spark.maintenance import purge_dropped_tables
+
+        report["purge_dropped"] = purge_dropped_tables(args.table)
     print(json.dumps(report))
 
 

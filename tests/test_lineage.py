@@ -101,3 +101,51 @@ def test_batch_phase_profile_and_status_json(spark, tmpdir_path):
         assert on_disk["tables"][cfg.target_table_dir]["last_batch"] == lb
         assert doc["tables"][cfg.target_table_dir]["applied_lsn_hi"] is not None
         assert "checkpoint" in on_disk
+
+
+def test_lineage_compaction_folds_files(spark, tmpdir_path):
+    """N per-batch lineage files fold to ONE with identical read_lineage
+    contents (VERDICT r3 #6); a simulated crash window (source file left
+    beside its compacted copy) still reads exactly-once."""
+    import shutil
+
+    from estuary_spark.lineage import append_lineage, compact_lineage
+
+    ldir = os.path.join(tmpdir_path, "lineage")
+    for b in range(12):
+        append_lineage(
+            spark,
+            ldir,
+            [
+                {
+                    "batch_id": b,
+                    "partition_id": p,
+                    "offset_start": b * 100,
+                    "offset_end": b * 100 + 99,
+                    "rows_upserted": 10 + p,
+                    "rows_deleted": p,
+                    "late_events": 0,
+                    "out_of_order_events": 1,
+                    "wall_ms": 50,
+                }
+                for p in range(3)
+            ],
+        )
+    files = [f for f in os.listdir(ldir) if f.endswith(".parquet")]
+    assert len(files) == 12
+    before = {tuple(r) for r in read_lineage(spark, ldir).collect()}
+
+    res = compact_lineage(ldir)
+    assert res == {"files_before": 12, "files_after": 1, "rows": 36}
+    files = [f for f in os.listdir(ldir) if f.endswith(".parquet")]
+    assert len(files) == 1 and files[0].startswith("compacted-")
+    assert {tuple(r) for r in read_lineage(spark, ldir).collect()} == before
+
+    # idempotent / already-compacted: no-op
+    assert compact_lineage(ldir)["files_after"] == 1
+
+    # crash window: a source file surviving next to its compacted copy
+    # (delete step interrupted) must not double-count
+    dup = os.path.join(ldir, "batch-0000000099-deadbeef.parquet")
+    shutil.copy(os.path.join(ldir, files[0]), dup)
+    assert {tuple(r) for r in read_lineage(spark, ldir).collect()} == before

@@ -84,3 +84,85 @@ def test_partition_strategies_shape(spark):
         (F.col("conv_id") == "c3") & (F.col("turn_idx") == 0)
     )
     assert one.select("p").distinct().count() == 1
+
+
+def test_autosalt_engages_on_flood_only(spark):
+    """salt_factor=-1 (autosalt, VERDICT r3 #5): a single-key-flood batch
+    auto-engages the two-phase salted reduce; a uniform batch keeps the
+    single-shuffle plan (no extra exchange) — asserted via the physical
+    plan, with correctness identical either way."""
+    from estuary_spark.operators.lww import choose_salt_factor
+
+    keys = ["conv_id", "turn_idx"]
+    uniform = spark.range(40_000).select(
+        F.concat(F.lit("c"), (F.col("id") % 8000).cast("string")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("id").alias("lsn"),
+        F.lit("update").alias("op"),
+        F.lit("u").alias("text"),
+    )
+    flood = spark.range(40_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("c"), F.col("id").cast("string")))
+        .alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("id").alias("lsn"),
+        F.lit("update").alias("op"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("text"),
+    )
+
+    thr = 5_000  # scaled down so the 20k-event hot key counts as a flood
+    assert choose_salt_factor(uniform, keys, flood_threshold=thr) == 0
+    s = choose_salt_factor(flood, keys, flood_threshold=thr)
+    assert s >= 2
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    uniform_plan = plan_of(lww_reduce(uniform, keys, salt_factor=0))
+    salted_plan = plan_of(lww_reduce(flood, keys, salt_factor=s))
+    assert "_salt" not in uniform_plan
+    assert uniform_plan.count("Exchange") == 1  # one shuffle, no salt stage
+    assert "_salt" in salted_plan
+    assert salted_plan.count("Exchange") == 2  # pre-reduce + final
+
+    # correctness identical: the flood's winner is the max-LSN hot event
+    got = {
+        r["conv_id"]: r["text"]
+        for r in lww_reduce(flood, keys, salt_factor=s).collect()
+        if r["conv_id"] == "hot"
+    }
+    assert got == {"hot": "v39998"}
+
+
+def test_autosalt_end_to_end(spark, tmpdir_path):
+    """salt_factor=-1 through the full sync: a flooded log applies
+    correctly with autosalt deciding per batch."""
+    import os
+
+    from estuary_spark.config import SyncConfig
+    from estuary_spark.runner import read_final_state, run_sync
+
+    log = spark.range(8_000).select(
+        F.col("id").alias("lsn"),
+        F.lit("update").alias("op"),
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("c"), F.col("id").cast("string")))
+        .alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("text"),
+    )
+    log_dir = os.path.join(tmpdir_path, "log")
+    log.repartitionByRange(2, "lsn").write.parquet(log_dir)
+    cfg = SyncConfig(
+        source_log_dir=log_dir,
+        target_table_dir=os.path.join(tmpdir_path, "t"),
+        n_buckets=4,
+        envelope_cols=("lsn", "op"),
+        salt_factor=-1,
+        autosalt_threshold=1_000,
+    )
+    run_sync(spark, cfg, events_per_batch=4_000)
+    got = {r["conv_id"]: r["text"] for r in read_final_state(spark, cfg).collect()}
+    assert got["hot"] == "v7998"
+    assert len(got) == 4_001
