@@ -41,13 +41,16 @@ def run_sync_streaming(
     available_now: bool = True,
     processing_time: str | None = None,
     source: LogSource | None = None,
+    on_batch=None,
 ) -> dict:
     """Run the sync task as a streaming query. With ``available_now`` the
     query drains the current log and stops (deterministic; used by tests);
     with ``processing_time`` it tails the log continuously. ``source`` is
     any :class:`LogSource` (default :class:`ParquetLogSource`); a
     :class:`KafkaLogSource` drops in unchanged — the apply core is
-    source-agnostic."""
+    source-agnostic. ``on_batch(batch_df, batch_id, result)`` is an
+    optional observer invoked after each micro-batch's apply+commit
+    (latency instrumentation — tools/streaming_bench.py)."""
     source = source or ParquetLogSource(cfg.source_log_dir, lsn_col=cfg.lsn_col)
     static = source.read_batch(spark)
     table = open_or_create_table(spark, cfg, static)
@@ -67,6 +70,8 @@ def run_sync_streaming(
             sess, table, batch_df, cfg, int(batch_id), offset_range=None, check_applied_range=False
         )
         stats["batches"] += 1
+        if on_batch is not None:
+            on_batch(batch_df, int(batch_id), res)
         if res.skipped:
             stats["skipped"] += 1
             # all-late skipped batches still carry late/ooo lineage (M1)
