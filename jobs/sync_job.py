@@ -40,10 +40,22 @@ def main() -> None:
     ap.add_argument("--checkpoint", default=None, help="JSON checkpoint (batch mode) or checkpoint dir (streaming)")
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--salt", type=int, default=0,
-                    help="explicit LWW salt factor (0 = off, matching SyncConfig). Map-side "
+                    help="explicit LWW salt factor (0 = off, matching SyncConfig; -1 = "
+                         "AUTOSALT, a per-batch sampled flood detector). Map-side "
                          "partial aggregation already does the local pre-merge reduce; salting "
                          "adds a second full-width shuffle per batch and only pays off for a "
                          "pathological single-key flood")
+    ap.add_argument("--autosalt-threshold", type=int, default=500_000,
+                    help="with --salt -1: single-key event count above which the "
+                         "two-phase salted reduce engages")
+    ap.add_argument("--multi-parallelism", type=int, default=8,
+                    help="multi-table mode: destination tables applied concurrently "
+                         "per micro-batch (1 = serial)")
+    ap.add_argument("--ddl-op", default="ddl",
+                    help="multi-table mode: event op value that carries a SQL DDL "
+                         "statement (estuary_spark.ddl parses and lowers it)")
+    ap.add_argument("--ddl-sql-col", default="text",
+                    help="multi-table mode: column holding the DDL statement text")
     ap.add_argument("--events-per-batch", type=int, default=1_000_000)
     ap.add_argument("--start-lsn", type=int, default=None)
     ap.add_argument("--start-ts", default=None,
@@ -95,6 +107,10 @@ def main() -> None:
         checkpoint_path=None if args.streaming else args.checkpoint,
         n_buckets=args.buckets,
         salt_factor=args.salt,
+        autosalt_threshold=args.autosalt_threshold,
+        multi_apply_parallelism=args.multi_parallelism,
+        ddl_op=args.ddl_op,
+        ddl_sql_col=args.ddl_sql_col,
         start_lsn=args.start_lsn,
         start_ts=args.start_ts,
         stop_at_lsn=args.stop_at_lsn,
