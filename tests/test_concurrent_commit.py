@@ -250,3 +250,98 @@ def test_evolution_race_keeps_both_columns(spark, tmpdir_path):
     victim.evolve_schema(T.StructType([T.StructField("victim_col", T.LongType())]))
     names = set(_mk_table(tmpdir_path).schema.names)
     assert {"rival_col", "victim_col"} <= names
+
+
+def test_true_concurrent_delta_writers(spark, tmpdir_path):
+    """REAL concurrency (no injected race): N driver threads each publish
+    several MoR delta commits against one table through the actual
+    filesystem. Every commit must land (rebase absorbs lost publish
+    races), every writer's rows must be live, and the applied ranges must
+    all be recorded."""
+    import threading
+
+    t = _mk_table(tmpdir_path)
+    n_writers, per_writer = 4, 3
+    errors: list[Exception] = []
+    barrier = threading.Barrier(n_writers)
+
+    def writer(w: int) -> None:
+        try:
+            barrier.wait()
+            tw = _mk_table(tmpdir_path)  # own LakeTable handle (own cache)
+            for i in range(per_writer):
+                base = 1000 * w + 100 * i
+                tw.commit_delta(
+                    spark,
+                    _batch(spark, range(base, base + 10), f"w{w}", key_prefix=f"w{w}-"),
+                    applied_range=(base, base + 9),
+                    batch_id=w * 100 + i,
+                )
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+
+    t = _mk_table(tmpdir_path)
+    assert t.current_version() == n_writers * per_writer  # every commit landed
+    for w in range(n_writers):
+        for i in range(per_writer):
+            base = 1000 * w + 100 * i
+            assert t.is_range_applied(base, base + 9)
+    texts = {r["text"] for r in t.read(spark).collect()}
+    for w in range(n_writers):
+        assert any(x.startswith(f"w{w}-") for x in texts)
+
+
+def test_rebase_preserves_other_shards(spark, tmpdir_path):
+    """Sharded manifests under a publish race: victim and rival touch
+    DIFFERENT inventory shards; the victim's rebase must keep the rival's
+    rewritten shard pointer while writing its own — no shard content may
+    be lost or resurrected."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from estuary_spark.tables import LakeTable as LT
+
+    root = _os.path.join(tmpdir_path, "sharded")
+    LT.create(
+        root,
+        T.StructType(
+            [
+                T.StructField("conv_id", T.StringType()),
+                T.StructField("turn_idx", T.IntegerType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+        n_buckets=128,
+        key_cols=["conv_id", "turn_idx"],
+        shard_buckets=16,  # 8 shards
+    )
+
+    def fake_delta(table, idx, buckets, lo, hi):
+        m0 = table.manifest()
+        rel = _os.path.join("data", f"delta-{m0['version'] + 1:010d}-r{idx}")
+        nb = {str(b): [_os.path.join(rel, f"_bp={b}", "p.parquet")] for b in buckets}
+        return table._commit_delta_meta(
+            m0, rel, nb, (lo, hi), idx, T.StructType.fromJson(m0["schema"]), None
+        )
+
+    io = RacingIO()
+    victim = LT(root, io=io)
+    rival = LT(root)
+    io.rival = lambda: fake_delta(rival, 1, [100, 110], 100, 109)  # shard 6
+    fake_delta(victim, 0, [0, 17], 0, 9)  # shards 0 and 1
+    assert io.fired
+
+    t = LT(root)
+    raw = t._raw_manifest()
+    assert set(raw["shards"]) == {"0", "1", "6"}
+    m = t.manifest()
+    assert {int(b) for b in m["delta_files"]} == {0, 17, 100, 110}
+    assert t.is_range_applied(0, 9) and t.is_range_applied(100, 109)
