@@ -127,6 +127,35 @@ def stall_report(spark: SparkSession, out_dir: str, stale_after_s: float = 60.0)
     ]
 
 
+def table_status(table_dir: str) -> dict:
+    """One table's position/health document (shared by the status-file
+    writer below and the HTTP status server, jobs/status_server.py):
+    snapshot version, applied-position watermark, last_batch counters and
+    per-phase costs (M3), delta-chain pressure, retention floors, and the
+    logical-drop / rename markers. Pure metadata — raw-manifest reads
+    only, no Spark session needed."""
+    from estuary_spark.tables import LakeTable
+
+    t = LakeTable(table_dir)
+    if not t.exists():
+        return {"exists": False}
+    props = t.properties()
+    ranges = props.get("applied_ranges", [])
+    return {
+        "exists": True,
+        "version": t.current_version(),
+        "applied_lsn_hi": max((r[1] for r in ranges), default=None),
+        "applied_ranges": ranges,
+        "last_batch": props.get("last_batch"),
+        "delta_buckets": len(t.delta_buckets()),
+        "tombstone_purge_watermark": props.get("tombstone_purge", {}).get("watermark_lsn"),
+        "table_ops_lsn": props.get("table_ops_lsn"),
+        "dropped_at_lsn": props.get("dropped_at_lsn"),
+        "renamed_from": props.get("renamed_from"),
+        "column_added_lsns": props.get("column_added_lsns"),
+    }
+
+
 def write_status_json(
     path: str,
     table_dirs: str | list[str],
@@ -146,29 +175,8 @@ def write_status_json(
     retention floors. Plus the driver checkpoint, if any. The write is
     atomic (temp + rename), so a monitor never reads a torn document.
     """
-    from estuary_spark.tables import LakeTable
-
     dirs = [table_dirs] if isinstance(table_dirs, str) else list(table_dirs)
-    tables = {}
-    for d in dirs:
-        t = LakeTable(d)
-        if not t.exists():
-            tables[d] = {"exists": False}
-            continue
-        props = t.properties()
-        ranges = props.get("applied_ranges", [])
-        tables[d] = {
-            "exists": True,
-            "version": t.current_version(),
-            "applied_lsn_hi": max((r[1] for r in ranges), default=None),
-            "applied_ranges": ranges,
-            "last_batch": props.get("last_batch"),
-            "delta_buckets": len(t.delta_buckets()),
-            "tombstone_purge_watermark": props.get("tombstone_purge", {}).get(
-                "watermark_lsn"
-            ),
-            "table_ops_lsn": props.get("table_ops_lsn"),
-        }
+    tables = {d: table_status(d) for d in dirs}
     doc = {"ts": time.time(), "tables": tables}
     if checkpoint_path and os.path.exists(checkpoint_path):
         with open(checkpoint_path) as fh:
