@@ -257,7 +257,7 @@ def main() -> None:
     # inline shuffle probe (the DRAM-bandwidth-bound kernel the pipeline
     # is made of) brackets the suite, so a contaminated run is
     # self-evident in the JSON: probe_sec far above its quiet-box
-    # reference (~5.8-6.3 s at n=30M / 32 cores, BENCH/BASELINE.md round 4)
+    # reference (~4.1-4.6 s at n=30M / 32 cores, BENCH/BASELINE.md round 4)
     # invalidates the wall numbers next to it.
     n_runs = max(1, int(os.environ.get("ESTUARY_BENCH_RUNS", "3")))
     probe_before = round(machine_shuffle_probe(spark, cpus, n=30_000_000), 2)
