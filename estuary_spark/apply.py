@@ -376,8 +376,14 @@ def apply_batch(
         if c in batch_df.columns:
             if batch_df.schema[c].dataType != tschema[c].dataType:
                 # only reachable with on_type_change="cast" (reconcile
-                # raised otherwise): coerce to the table's type
-                proj.append(F.col(c).cast(tschema[c].dataType).alias(c))
+                # raised otherwise): coerce to the table's type. try_cast,
+                # not cast: a value the new type can't represent becomes
+                # NULL instead of failing the whole batch mid-flight — the
+                # per-VALUE analogue of the reference's drop-with-warning
+                # schema check (F6, CanalEntry2RowDataInfoMappingFormat
+                # .scala:88-97); the uncastable value is exactly the row
+                # the reference would have dropped
+                proj.append(F.col(c).try_cast(tschema[c].dataType).alias(c))
             else:
                 proj.append(F.col(c))
         else:

@@ -143,7 +143,10 @@ class SyncConfig:
     # the table's (estuary's holder handles modify-column,
     # MysqlTableSchemaHolder.scala:61-78) either fails with a typed error
     # ("fail", the default — surfacing the change instead of an opaque
-    # parquet read error) or is cast to the table's type ("cast")
+    # parquet read error) or is cast to the table's type ("cast";
+    # try_cast semantics — a value the table's type can't represent
+    # becomes NULL rather than failing the batch, the per-value analogue
+    # of the reference's drop-with-warning schema check F6)
     on_type_change: str = "fail"
 
     # per-event transform chain applied to each batch before the LWW

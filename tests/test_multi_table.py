@@ -252,3 +252,56 @@ def test_parallel_fanout_matches_serial(spark, tmpdir_path):
         for r in read_final_state_multi(spark, cfg8).collect()
     }
     assert state1 == state8 and len(state1) > 0
+
+
+def test_parallel_fanout_failure_isolated(spark, tmpdir_path):
+    """One destination failing mid-fan-out (non-additive type change with
+    on_type_change=fail) must surface as the typed error WITHOUT
+    corrupting the healthy tables: their commits either landed or replay
+    cleanly on the rerun."""
+    import pytest
+
+    from estuary_spark.apply import SchemaTypeChangeError
+    from estuary_spark.tables import LakeTable as LT
+
+    rows = [
+        (1, "insert", "db.good", "c1", 0, "g1"),
+        (2, "insert", "db.bad", "k1", 0, "b1"),
+        (3, "insert", "db.good", "c2", 1, "g2"),
+    ]
+    df = spark.createDataFrame(rows, COLS)
+    df.write.mode("overwrite").parquet(os.path.join(tmpdir_path, "log"))
+
+    # pre-create db.bad with text as LONG -> the batch's string column is a
+    # non-additive type change and its apply raises
+    from pyspark.sql import types as T
+
+    LT.create(
+        os.path.join(tmpdir_path, "tables", "db.bad"),
+        T.StructType(
+            [
+                T.StructField("conv_id", T.StringType()),
+                T.StructField("turn_idx", T.IntegerType()),
+                T.StructField("text", T.LongType()),
+            ]
+        ),
+        n_buckets=2,
+        key_cols=["conv_id", "turn_idx"],
+    )
+
+    cfg = _mk_cfg(tmpdir_path, multi_apply_parallelism=4)
+    with pytest.raises(SchemaTypeChangeError):
+        run_sync_multi(spark, cfg, events_per_batch=100)
+
+    # healthy table is intact and correct (it committed before the batch
+    # failed, or replays exactly-once on a rerun of the same range)
+    good = LT(os.path.join(tmpdir_path, "tables", "db.good"))
+    got = {(r["conv_id"], r["text"]) for r in good.read(spark).collect()}
+    assert got == {("c1", "g1"), ("c2", "g2")}
+    # rerun after fixing the bad table (cast policy): everything converges
+    cfg2 = _mk_cfg(tmpdir_path, multi_apply_parallelism=4, on_type_change="cast")
+    if os.path.exists(cfg2.checkpoint_path):  # failed run saves no checkpoint
+        os.remove(cfg2.checkpoint_path)
+    run_sync_multi(spark, cfg2, events_per_batch=100)
+    got2 = {(r["conv_id"], r["text"]) for r in good.read(spark).collect()}
+    assert got2 == got
