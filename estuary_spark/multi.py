@@ -28,6 +28,7 @@ reference's model) by running several configs with disjoint filters.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -62,6 +63,54 @@ def _route_name(cfg: SyncConfig, src_name: str) -> str:
     return cfg.table_renames.get(src_name, src_name) if cfg.table_renames else src_name
 
 
+def _ddl_table_allowed(cfg: SyncConfig, src_name: str) -> bool:
+    """The F2 white/blacklist applied to table names parsed out of DDL
+    TEXT. Row events pass through ``route_tables``' rlike filters, but a
+    SQL-string DDL event names its table inside the statement — without
+    this gate a ``TRUNCATE TABLE db2.audit`` arriving in a sync filtered
+    to ``^db1\\.`` would create a fence (and potentially a destination)
+    for a table this sync does not own (ADVICE r4). ``re.search``
+    matches Spark's ``rlike`` find-anywhere semantics."""
+    if cfg.table_filter and not re.search(cfg.table_filter, src_name):
+        return False
+    if cfg.table_blacklist and re.search(cfg.table_blacklist, src_name):
+        return False
+    return True
+
+
+def _fence_old_name(
+    cfg: SyncConfig, tables: dict, old_dir: str, old_dst: str, new_dst: str, at: int, m_src: dict
+) -> None:
+    """Ensure the rename's OLD name carries its tombstone fence
+    (``table_ops_lsn`` at the rename LSN + dropped marker). Idempotent and
+    crash-recoverable: if the old name is missing (driver died after the
+    directory move but before the tombstone landed — ADVICE r4) the
+    tombstone is created from the moved table's manifest; if it exists but
+    is unfenced (straggler events recreated it) it is truncated and fenced
+    at the rename LSN."""
+    from pyspark.sql import types as T
+
+    t = LakeTable(old_dir)
+    if t.exists():
+        if int(t.properties().get("table_ops_lsn", -1)) >= at:
+            return  # fence already in place
+        t.truncate(
+            at_lsn=at, extra_properties={"dropped_at_lsn": int(at), "renamed_to": new_dst}
+        )
+        tables.pop(old_dst, None)
+        return
+    tomb = LakeTable.create(
+        old_dir,
+        T.StructType.fromJson(m_src["schema"]),
+        n_buckets=int(m_src["n_buckets"]),
+        key_cols=list(m_src["key_cols"]),
+        shard_buckets=int(m_src.get("shard_buckets", 0)) or None,
+    )
+    tomb.truncate(
+        at_lsn=at, extra_properties={"dropped_at_lsn": int(at), "renamed_to": new_dst}
+    )
+
+
 def _rename_table(cfg: SyncConfig, tables: dict, old_dst: str, new_dst: str, at: int) -> None:
     """Lower ``RENAME TABLE a TO b``: the destination directory moves so
     existing data follows the rename; subsequent events arrive under the
@@ -70,17 +119,24 @@ def _rename_table(cfg: SyncConfig, tables: dict, old_dst: str, new_dst: str, at:
     replayed or straggler events carrying the old name at/below the
     rename's LSN cannot recreate pre-rename state — replay from LSN 0
     converges to the post-rename layout. The tombstone is physically
-    removed by ``maintenance.purge_dropped_tables``. Idempotent: if the
-    new destination already exists the move already happened."""
+    removed by ``maintenance.purge_dropped_tables``. Idempotent AND
+    crash-recoverable: if the new destination already exists the move
+    already happened, but the old-name fence is still (re)asserted — a
+    driver that died between the directory move and the tombstone write
+    must not leave the old name unfenced on replay (ADVICE r4)."""
     import shutil
-
-    from pyspark.sql import types as T
 
     old_dir = os.path.join(cfg.target_table_dir, old_dst)
     new_dir = os.path.join(cfg.target_table_dir, new_dst)
     t_old = LakeTable(old_dir)
-    if not t_old.exists() or LakeTable(new_dir).exists():
-        return  # nothing to carry, or replay after the move
+    t_new = LakeTable(new_dir)
+    if t_new.exists():
+        # replay after the move — or recovery from the move/tombstone
+        # crash window: the fence must exist either way
+        _fence_old_name(cfg, tables, old_dir, old_dst, new_dst, at, t_new.manifest())
+        return
+    if not t_old.exists():
+        return  # nothing to carry (rename of a table never seen here)
     m_old = t_old.manifest()
     shutil.move(old_dir, new_dir)
     tables.pop(old_dst, None)
@@ -88,16 +144,7 @@ def _rename_table(cfg: SyncConfig, tables: dict, old_dst: str, new_dst: str, at:
     LakeTable(new_dir).commit_metadata(
         extra_properties={"renamed_from": old_dst, "renamed_at_lsn": int(at)}
     )
-    tomb = LakeTable.create(
-        old_dir,
-        T.StructType.fromJson(m_old["schema"]),
-        n_buckets=int(m_old["n_buckets"]),
-        key_cols=list(m_old["key_cols"]),
-        shard_buckets=int(m_old.get("shard_buckets", 0)) or None,
-    )
-    tomb.truncate(
-        at_lsn=at, extra_properties={"dropped_at_lsn": int(at), "renamed_to": new_dst}
-    )
+    _fence_old_name(cfg, tables, old_dir, old_dst, new_dst, at, m_old)
 
 
 def _add_columns(
@@ -186,6 +233,8 @@ def _apply_table_ops(batch: DataFrame, cfg: SyncConfig, tables: dict) -> DataFra
             continue
         p = parse_ddl(r["sql"] or "")
         kind = p["op"]
+        if "table" in p and not _ddl_table_allowed(cfg, p["table"]):
+            continue  # DDL for a table this sync does not own (F2)
         if kind in (OP_TRUNCATE, OP_DROP_TABLE):
             events.append((_route_name(cfg, p["table"]), kind, int(r["at"]), None))
         elif kind == "add_column":

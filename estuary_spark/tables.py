@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -1069,7 +1070,21 @@ class LakeTable:
             for f in fl
         }
 
-    def expire_snapshots(self, keep: int = 5) -> dict:
+    def _young(self, path: str, grace_seconds: float) -> bool:
+        """True when ``path`` is inside the GC grace window. A concurrent
+        writer publishes data/shard files BEFORE its snapshot (write-ahead
+        discipline), so an unreferenced file may belong to an in-flight
+        commit; only files older than ``grace_seconds`` are provably
+        orphans (Iceberg's remove-orphan-files age threshold). Pass 0 only
+        on a quiesced table (tests, offline maintenance)."""
+        if grace_seconds <= 0:
+            return False
+        try:
+            return (time.time() - self.io.mtime(path)) < grace_seconds
+        except OSError:
+            return True  # vanished or unreadable: leave it alone
+
+    def expire_snapshots(self, keep: int = 5, grace_seconds: float = 600.0) -> dict:
         """Snapshot expiration with retained history (the Iceberg
         ``expireSnapshots`` shape): drop all but the newest ``keep``
         snapshot manifests and delete data files referenced ONLY by the
@@ -1096,18 +1111,21 @@ class LakeTable:
                 files_removed += 1
         for v in expired:
             self.io.delete(os.path.join(self._mdir, f"v{v:010d}.json"))
-        shards_removed = self._gc_shards(kept)
+        shards_removed = self._gc_shards(kept, grace_seconds=grace_seconds)
         return {
             "snapshots_removed": len(expired),
             "files_removed": files_removed,
             "shard_files_removed": shards_removed,
         }
 
-    def _gc_shards(self, live_versions: list[int]) -> int:
+    def _gc_shards(self, live_versions: list[int], grace_seconds: float = 600.0) -> int:
         """Delete inventory-shard files not referenced by any of
         ``live_versions``' snapshots (each commit rewrites only its touched
         shards, so superseded shard files accumulate until snapshots
-        expire — the Iceberg expired-manifest cleanup analogue)."""
+        expire — the Iceberg expired-manifest cleanup analogue). Shard
+        files younger than ``grace_seconds`` are skipped: a concurrent
+        commit publishes its shards before its snapshot, so a young
+        unreferenced shard may belong to an in-flight commit (ADVICE r4)."""
         live_shards: set[str] = set()
         for v in live_versions:
             live_shards |= set(self._raw_manifest(v).get("shards", {}).values())
@@ -1116,24 +1134,32 @@ class LakeTable:
         for fn in self.io.list_dir(sdir):
             rel = os.path.join(SHARD_SUBDIR, fn)
             if fn.startswith("shard-") and rel not in live_shards:
-                self.io.delete(os.path.join(self._mdir, rel))
+                p = os.path.join(self._mdir, rel)
+                if self._young(p, grace_seconds):
+                    continue
+                self.io.delete(p)
                 self._shard_cache.pop(rel, None)
                 removed += 1
         return removed
 
-    def vacuum(self) -> int:
+    def vacuum(self, grace_seconds: float = 600.0) -> int:
         """Delete data files not referenced by the current snapshot.
         Returns the number of files removed. (Old snapshots become
-        unreadable — run only when time travel is not needed.)"""
+        unreadable — run only when time travel is not needed.) Files
+        younger than ``grace_seconds`` are skipped — they may belong to a
+        commit in flight (data lands before the snapshot that references
+        it); pass 0 only on a quiesced table."""
         live = self._referenced_files(self.manifest())
         removed = 0
         droot = os.path.join(self.root, DATA_DIR)
         for p in self.io.walk_files(droot):
             fn = os.path.basename(p)
             if p not in live and (fn.endswith(".parquet") or fn.startswith("_")):
+                if self._young(p, grace_seconds):
+                    continue
                 self.io.delete(p)
                 removed += 1
         # shard files referenced only by older snapshots (vacuum's contract
         # already makes those unreadable — their data files are gone)
-        removed += self._gc_shards([self.current_version()])
+        removed += self._gc_shards([self.current_version()], grace_seconds=grace_seconds)
         return removed

@@ -47,6 +47,11 @@ def main() -> None:
                     help="keep only the last N manifest versions time-travelable")
     ap.add_argument("--vacuum", action="store_true",
                     help="delete data files unreferenced by any retained manifest")
+    ap.add_argument("--gc-grace", type=float, default=600.0, metavar="SEC",
+                    help="orphan-age grace window for expire/vacuum: files younger "
+                         "than this are never collected (they may belong to a "
+                         "concurrent in-flight commit, which publishes data/shard "
+                         "files before its snapshot); 0 only on a quiesced table")
     ap.add_argument("--compact-lineage", default=None, metavar="DIR",
                     help="fold the per-batch lineage files under DIR into one "
                          "(with --multi, DIR's per-table subdirectories)")
@@ -90,9 +95,11 @@ def main() -> None:
         if args.purge_tombstones is not None:
             r["purged_tombstones"] = purge_tombstones(spark, t, args.purge_tombstones)
         if args.expire_snapshots is not None:
-            r["expired"] = t.expire_snapshots(keep=args.expire_snapshots)
+            r["expired"] = t.expire_snapshots(
+                keep=args.expire_snapshots, grace_seconds=args.gc_grace
+            )
         if args.vacuum:
-            r["vacuumed_files"] = t.vacuum()
+            r["vacuumed_files"] = t.vacuum(grace_seconds=args.gc_grace)
         report[root] = r
 
     if args.compact_lineage:

@@ -62,11 +62,11 @@ def test_vacuum_removes_only_dead_files(spark, tmpdir_path):
     cfg, t = _mk_table(spark, tmpdir_path, rows)
     # several commits happened (multi-batch) -> superseded files exist
     before = {tuple(r) for r in read_final_state(spark, cfg).select("conv_id", "text").collect()}
-    removed = t.vacuum()
+    removed = t.vacuum(grace_seconds=0)
     assert removed > 0
     after = {tuple(r) for r in read_final_state(spark, cfg).select("conv_id", "text").collect()}
     assert after == before                      # current snapshot intact
-    assert t.vacuum() == 0                      # second vacuum: nothing left
+    assert t.vacuum(grace_seconds=0) == 0       # second vacuum: nothing left
 
 
 def test_expire_snapshots_keeps_last_n_readable(spark, tmpdir_path):
@@ -98,7 +98,7 @@ def test_expire_snapshots_keeps_last_n_readable(spark, tmpdir_path):
         for v in kept_expected
     }
 
-    res = t.expire_snapshots(keep=keep)
+    res = t.expire_snapshots(keep=keep, grace_seconds=0)
     assert res["snapshots_removed"] == len(vs) - keep
     assert t.versions() == kept_expected
     # every kept snapshot is still fully readable, bit-identical
@@ -109,13 +109,13 @@ def test_expire_snapshots_keeps_last_n_readable(spark, tmpdir_path):
     # expiring again is a no-op; vacuum afterwards only touches files the
     # CURRENT snapshot doesn't reference (older kept snapshots may lose
     # files — that is vacuum's documented contract, not expire's)
-    assert t.expire_snapshots(keep=keep) == {
+    assert t.expire_snapshots(keep=keep, grace_seconds=0) == {
         "snapshots_removed": 0,
         "files_removed": 0,
         "shard_files_removed": 0,
     }
     cur = {tuple(r) for r in t.read(spark).select("conv_id", "text").collect()}
-    t.vacuum()
+    t.vacuum(grace_seconds=0)
     assert {tuple(r) for r in t.read(spark).select("conv_id", "text").collect()} == cur
 
 

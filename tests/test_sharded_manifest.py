@@ -114,7 +114,7 @@ def test_expire_gcs_stale_shards(tmpdir_path):
         _fake_delta(t, i, [i])
     sdir = os.path.join(root, "_manifests", SHARD_SUBDIR)
     n_before = len(os.listdir(sdir))
-    res = t.expire_snapshots(keep=1)
+    res = t.expire_snapshots(keep=1, grace_seconds=0)
     assert res["snapshots_removed"] == 6
     assert res["shard_files_removed"] > 0
     live = set(t._raw_manifest().get("shards", {}).values())
