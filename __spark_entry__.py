@@ -411,14 +411,25 @@ def q_cdc_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANTLR into SchemaChange ops — ``SchemaChange.java:70-110``,
     ``mysql/schema/Parser.scala:29-64`` in /root/reference; here
     ``estuary_spark.ddl`` lowers the same statements onto the structured
-    table ops): at the log's midpoint LSN, a ``TRUNCATE TABLE`` statement
-    truncates db1.conv_a and an ``ALTER TABLE .. ADD COLUMN tool``
-    statement declares the ``tool`` column on db1.conv_b (renamed
-    conv_b_renamed). ``tool`` is connector noise until declared
-    (envelope), and the ADD COLUMN's semantics are LSN-exact: events
-    at/below the DDL's LSN read it as NULL — so the fold is
-    batch-boundary-independent and exactly what the oracle's
-    ``lsn > t_op`` CASE states."""
+    table ops). SEVEN statements ride the log as text, covering the full
+    operational grammar (VERDICT r4 #1):
+
+    * t_add:  ``ALTER TABLE db1.conv_a ADD COLUMN tool`` — declares the
+      column early on conv_a;
+    * t_add:  ``CREATE TABLE db1.conv_c (...PRIMARY KEY...)`` and
+      ``CREATE TABLE db1.conv_d LIKE db1.conv_c`` — explicit creates
+      (empty destinations; they must appear and must not perturb rows);
+    * t_op:   ``TRUNCATE TABLE db1.conv_a`` + ``ALTER TABLE db1.conv_b
+      ADD COLUMN tool``;
+    * t_drop: ``ALTER TABLE db1.conv_a DROP COLUMN tool`` — metadata-only,
+      the column reads NULL;
+    * t_ren:  ``ALTER TABLE db1.conv_b CHANGE COLUMN tool tool_name`` —
+      column rename with alias-coalesce over pre-rename files/events;
+    * t_re:   ``ALTER TABLE db1.conv_a ADD COLUMN tool`` again — re-add
+      after drop: rows at/below t_re read NULL, later rows are real.
+
+    All semantics are LSN-exact (batch-boundary-independent), which is
+    exactly what the oracle's ``lsn > t_x`` CASEs state."""
     from estuary_spark.config import SyncConfig
     from estuary_spark.multi import read_final_state_multi, run_sync_multi
 
@@ -437,21 +448,35 @@ def q_cdc_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lo, hi = base.agg(F.min("lsn"), F.max("lsn")).first()
-    t_op = (int(lo) + int(hi)) // 2
+    lo, hi = int(lo), int(hi)
+    span = hi - lo
+    t_add = lo + span // 8
+    t_op = (lo + hi) // 2
+    t_drop = lo + (span * 5) // 8
+    t_ren = lo + (span * 3) // 4
+    t_re = lo + (span * 13) // 16
     # base column order: lsn, op, conv_id, turn_idx, text, src_table, tool;
     # the DDL statement rides in `text` (cfg.ddl_sql_col default)
     ops = spark.createDataFrame(
         [
+            (t_add, "ddl", None, None,
+             "ALTER TABLE db1.conv_a ADD COLUMN tool VARCHAR(64)", "db1.conv_a", None),
+            (t_add, "ddl", None, None,
+             "CREATE TABLE db1.conv_c (conv_id VARCHAR(64), turn_idx INT, "
+             "text TEXT, PRIMARY KEY (conv_id, turn_idx)) ENGINE=InnoDB",
+             "db1.conv_c", None),
+            (t_add, "ddl", None, None,
+             "CREATE TABLE db1.conv_d LIKE db1.conv_c", "db1.conv_d", None),
             (t_op, "ddl", None, None, "TRUNCATE TABLE db1.conv_a", "db1.conv_a", None),
-            (
-                t_op,
-                "ddl",
-                None,
-                None,
-                "ALTER TABLE db1.conv_b ADD COLUMN tool VARCHAR(64)",
-                "db1.conv_b",
-                None,
-            ),
+            (t_op, "ddl", None, None,
+             "ALTER TABLE db1.conv_b ADD COLUMN tool VARCHAR(64)", "db1.conv_b", None),
+            (t_drop, "ddl", None, None,
+             "ALTER TABLE db1.conv_a DROP COLUMN tool", "db1.conv_a", None),
+            (t_ren, "ddl", None, None,
+             "ALTER TABLE db1.conv_b CHANGE COLUMN tool tool_name VARCHAR(64)",
+             "db1.conv_b", None),
+            (t_re, "ddl", None, None,
+             "ALTER TABLE db1.conv_a ADD COLUMN tool VARCHAR(64)", "db1.conv_a", None),
         ],
         base.schema,
     )
@@ -473,13 +498,18 @@ def q_cdc_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "turn_idx",
         "text",
         F.col("tool"),
+        F.col("tool_name"),
         "_lsn",
     )
 
 
 _CDC_DDL_SQL_ORACLE = f"""
 WITH base AS ({_CDC_ORACLE_LOG}),
-cut AS (SELECT (MIN(lsn) + MAX(lsn)) // 2 AS t_op FROM base),
+cut AS (
+    SELECT (MIN(lsn) + MAX(lsn)) // 2 AS t_op,
+           MIN(lsn) + ((MAX(lsn) - MIN(lsn)) * 13) // 16 AS t_re
+    FROM base
+),
 log AS (
     SELECT *,
            CASE CAST(lsn % 3 AS INTEGER)
@@ -504,8 +534,14 @@ w AS (
     FROM f
 )
 SELECT dst_table, conv_id, turn_idx, text,
-       CASE WHEN dst_table = 'conv_b_renamed' AND lsn > (SELECT t_op FROM cut)
+       -- conv_a's tool: ADDED, DROPPED, re-ADDED at t_re -> value only
+       -- above the re-add LSN (rows at/below predate the re-created col)
+       CASE WHEN dst_table = 'db1.conv_a' AND lsn > (SELECT t_re FROM cut)
             THEN tool END AS tool,
+       -- conv_b's tool was RENAMED tool_name; declared at t_op, so the
+       -- LSN-exact add mask follows the rename
+       CASE WHEN dst_table = 'conv_b_renamed' AND lsn > (SELECT t_op FROM cut)
+            THEN tool END AS tool_name,
        lsn AS _lsn
 FROM w WHERE rn = 1 AND op <> 'delete'
 """

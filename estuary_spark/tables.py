@@ -70,6 +70,73 @@ def bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
+def _schema_with_aliases(schema: T.StructType, m: dict) -> T.StructType:
+    """Extend a scan schema with the HISTORICAL names of renamed columns
+    (``properties["column_aliases"]: {new: [old, older, ...]}``): data
+    files written before an ``ALTER TABLE .. CHANGE old new`` still carry
+    the old column name, and an explicit-schema parquet read yields NULL
+    for absent fields — so scanning with both names and coalescing reads
+    every file generation correctly without rewriting a byte (the role
+    Iceberg field-ids play; parquet-by-name engines must alias). Alias
+    fields take the new field's type."""
+    aliases = m.get("properties", {}).get("column_aliases", {})
+    if not aliases:
+        return schema
+    out = T.StructType(list(schema.fields))
+    for new, olds in aliases.items():
+        if new not in out.names:
+            continue
+        dt = out[new].dataType
+        for old in olds:
+            if old not in out.names:
+                out = out.add(old, dt, True)
+    return out
+
+
+def _apply_column_semantics(df: DataFrame, m: dict) -> DataFrame:
+    """Apply the DDL shim's column-level read semantics recorded in the
+    snapshot properties (the reference applies the same statement kinds to
+    its schema holder — ``SchemaChange.java:70-110``,
+    ``MysqlTableSchemaHolder.scala:35-101`` in /root/reference; here they
+    lower to metadata + literal read expressions, never a data rewrite):
+
+    * ``column_aliases`` (CHANGE old new): coalesce the historical names
+      into the current one, then drop them — see
+      :func:`_schema_with_aliases`.
+    * ``column_dropped_lsns`` (DROP COLUMN at LSN X, and X supersedes any
+      earlier ADD): the column reads NULL — storage is additive, the
+      bytes stay for time travel, but current reads mask them (MySQL
+      drops the column for every row instantly).
+    * a RE-ADDED column (ADD at Y after DROP at X < Y): rows whose
+      ``_lsn <= Y`` read NULL — their stored values predate the re-add
+      (MySQL re-creates the column empty); rows written after Y are real.
+      Row-exact because every stored row carries its winner's ``_lsn``.
+
+    All masks are literal ``when()`` expressions — JVM-side, codegen'd,
+    zero shuffle."""
+    props = m.get("properties", {})
+    aliases = props.get("column_aliases", {})
+    added = props.get("column_added_lsns", {})
+    dropped = props.get("column_dropped_lsns", {})
+    for new, olds in aliases.items():
+        present = [o for o in olds if o in df.columns]
+        if new in df.columns and present:
+            df = df.withColumn(new, F.coalesce(F.col(new), *[F.col(o) for o in present]))
+            df = df.drop(*present)
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    for c, dl in dropped.items():
+        if c not in df.columns:
+            continue
+        al = int(added.get(c, -1))
+        if int(dl) >= al:
+            df = df.withColumn(c, F.lit(None).cast(schema[c]))
+        elif LSN_COL in df.columns:
+            # re-added after the drop: stored rows from before the re-add
+            # hold pre-drop values that MySQL would have discarded
+            df = df.withColumn(c, F.when(F.col(LSN_COL) > al, F.col(c)))
+    return df
+
+
 def _commit_dir_of(rel_file: str) -> str:
     """The commit directory a data file belongs to (files are laid out as
     ``data/<commit or delta dir>/_bp=<bucket>/<part>.parquet``)."""
@@ -450,10 +517,11 @@ class LakeTable:
         if columns is not None:
             need = list(dict.fromkeys([*key_cols, *columns, LSN_COL, DELETED_COL, BUCKET_COL]))
             schema = T.StructType([f for f in schema.fields if f.name in need])
+        schema = _schema_with_aliases(schema, m)
         files = self._files_for(m, "files", buckets) + self._files_for(m, "delta_files", buckets)
         if not files:
-            return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*files)
+            return _apply_column_semantics(spark.createDataFrame([], schema), m)
+        return _apply_column_semantics(spark.read.schema(schema).parquet(*files), m)
 
     def read(
         self,
@@ -489,6 +557,7 @@ class LakeTable:
         if columns is not None:
             need = list(dict.fromkeys([*key_cols, *columns, LSN_COL, DELETED_COL, BUCKET_COL]))
             schema = T.StructType([f for f in schema.fields if f.name in need])
+        schema = _schema_with_aliases(schema, m)
 
         dirty = {int(b) for b, fl in m.get("delta_files", {}).items() if fl}
         if buckets is not None:
@@ -521,6 +590,7 @@ class LakeTable:
             )
             df = df.unionByName(folded)
 
+        df = _apply_column_semantics(df, m)
         if not include_tombstones and DELETED_COL in df.columns:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
         return df
@@ -595,6 +665,7 @@ class LakeTable:
         if columns is not None:
             need = list(dict.fromkeys([*key_cols, *columns, LSN_COL, DELETED_COL, BUCKET_COL]))
             schema = T.StructType([f for f in schema.fields if f.name in need])
+        schema = _schema_with_aliases(schema, m)
 
         ranges = m.get("properties", {}).get("commit_lsn_ranges", {})
 
@@ -618,6 +689,7 @@ class LakeTable:
         df = df.filter(F.col(LSN_COL) >= F.lit(int(start_lsn)))
         if end_lsn is not None:
             df = df.filter(F.col(LSN_COL) <= F.lit(int(end_lsn)))
+        df = _apply_column_semantics(df, m)
 
         payload = [c for c in df.columns if c not in key_cols]
         folded = (
@@ -1059,6 +1131,83 @@ class LakeTable:
             }
 
         return self._publish_with_rebase(self.manifest(), build)
+
+    def drop_column(self, name: str, at_lsn: int) -> int:
+        """``ALTER TABLE .. DROP COLUMN`` as a METADATA-ONLY commit
+        (the reference applies RemoveColumnMod to its schema holder,
+        ``SchemaChange.java:70-110`` / ``MysqlTableSchemaHolder.scala:
+        35-101`` in /root/reference — no data rewrite there either).
+        Storage stays additive: the bytes remain for time travel, the
+        schema keeps the field, and reads mask the column to NULL from
+        the drop LSN (see :func:`_apply_column_semantics`) — at 100 TB a
+        drop must never be an O(table) rewrite. Key columns cannot be
+        dropped (raises ValueError — the merge identity would vanish)."""
+        if name in (self.manifest().get("key_cols") or []):
+            raise ValueError(f"cannot drop key column {name!r}")
+
+        def build(m: dict) -> dict:
+            props = dict(m.get("properties", {}))
+            dropped = dict(props.get("column_dropped_lsns", {}))
+            dropped[name] = max(int(at_lsn), int(dropped.get(name, -1)))
+            props["column_dropped_lsns"] = dropped
+            out = dict(m)
+            out.update(version=m["version"] + 1, parent=m["version"], properties=props)
+            return out
+
+        return self._publish_with_rebase(self.manifest(), build)
+
+    def rename_column(self, old: str, new: str, at_lsn: int) -> int:
+        """``ALTER TABLE .. CHANGE old new`` as a METADATA-ONLY commit:
+        the manifest schema field (and key_cols entry, if any) renames,
+        and ``properties["column_aliases"][new]`` records the historical
+        names so already-written data files — which carry the old name —
+        keep reading correctly via scan-time coalesce
+        (:func:`_schema_with_aliases`). Values are untouched: renaming a
+        key column keeps every bucket assignment (the hash is over
+        values). Column bookkeeping (added/dropped LSNs) migrates to the
+        new name. No-op if ``old`` is not in the schema (replayed DDL:
+        the rename already happened)."""
+
+        def build(m: dict) -> dict:
+            schema = T.StructType.fromJson(m["schema"])
+            if old not in schema.names or new in schema.names:
+                # a rival commit raced in the rename during a rebase:
+                # publish an empty metadata bump (idempotent outcome)
+                out = dict(m)
+                out.update(version=m["version"] + 1, parent=m["version"])
+                return out
+            fields = [
+                T.StructField(new, f.dataType, f.nullable) if f.name == old else f
+                for f in schema.fields
+            ]
+            props = dict(m.get("properties", {}))
+            aliases = {k: list(v) for k, v in props.get("column_aliases", {}).items()}
+            aliases[new] = [old] + aliases.pop(old, [])
+            props["column_aliases"] = aliases
+            for bk in ("column_added_lsns", "column_dropped_lsns"):
+                book = dict(props.get(bk, {}))
+                if old in book:
+                    book[new] = book.pop(old)
+                    props[bk] = book
+            props.setdefault("column_rename_lsns", {})
+            props["column_rename_lsns"] = {
+                **props["column_rename_lsns"], new: int(at_lsn)
+            }
+            out = dict(m)
+            out.update(
+                version=m["version"] + 1,
+                parent=m["version"],
+                schema=T.StructType(fields).jsonValue(),
+                key_cols=[new if k == old else k for k in m["key_cols"]],
+                properties=props,
+            )
+            return out
+
+        before = self.manifest()
+        names = T.StructType.fromJson(before["schema"]).names
+        if old not in names or new in names:
+            return before["version"]  # replayed DDL: nothing to publish
+        return self._publish_with_rebase(before, build)
 
     # ------------------------------------------------------------- vacuum
 

@@ -178,3 +178,192 @@ def test_ddl_drop_and_rename(spark, tmpdir_path):
         ("db1.a2", "c1", 0, "a1-v2", None),
         ("db1.a2", "c2", 1, "a2", None),
     }
+
+
+def test_parse_ddl_round5_statements():
+    """Round-5 grammar coverage: DROP COLUMN, CREATE TABLE (incl. LIKE),
+    CHANGE column-rename, mixed-clause ALTER (VERDICT r4 #1)."""
+    p = parse_ddl(
+        "CREATE TABLE db1.c (conv_id VARCHAR(64) NOT NULL, turn_idx INT, "
+        "text TEXT, PRIMARY KEY (conv_id, turn_idx)) ENGINE=InnoDB"
+    )
+    assert p["op"] == "create_table" and p["table"] == "db1.c"
+    assert [n for n, _ in p["columns"]] == ["conv_id", "turn_idx", "text"]
+    assert p["key_cols"] == ["conv_id", "turn_idx"]
+    p = parse_ddl("CREATE TABLE t (`id` BIGINT PRIMARY KEY, v DECIMAL(8,2), KEY iv (v))")
+    assert p["key_cols"] == ["id"] and [n for n, _ in p["columns"]] == ["id", "v"]
+    assert parse_ddl("CREATE TABLE db1.d LIKE db1.c") == {
+        "op": "create_table_like", "table": "db1.d", "like": "db1.c",
+    }
+    assert parse_ddl("CREATE TABLE db1.d (LIKE db1.c)")["like"] == "db1.c"
+
+    p = parse_ddl("ALTER TABLE t DROP COLUMN tool, DROP IF EXISTS extra")
+    assert p["op"] == "drop_column" and p["columns"] == ["tool", "extra"]
+    # index-level drops are NOT column drops
+    assert parse_ddl("ALTER TABLE t DROP PRIMARY KEY")["op"] == "unsupported"
+    assert parse_ddl("ALTER TABLE t DROP INDEX i")["op"] == "unsupported"
+
+    p = parse_ddl("ALTER TABLE t CHANGE COLUMN tool tool_name VARCHAR(64)")
+    assert p["op"] == "rename_column" and p["renames"] == [("tool", "tool_name")]
+    assert parse_ddl("ALTER TABLE t RENAME COLUMN a TO b")["renames"] == [("a", "b")]
+    # CHANGE with the same name = type-only modify (no rename mapping)
+    assert parse_ddl("ALTER TABLE t CHANGE a a BIGINT")["op"] == "modify_column"
+
+    p = parse_ddl("ALTER TABLE t ADD COLUMN x INT, DROP COLUMN y, CHANGE z zz TEXT")
+    assert p["op"] == "alter_table"
+    assert [k for k, _ in p["actions"]] == ["add_column", "drop_column", "rename_column"]
+
+
+def test_ddl_drop_column_end_to_end(spark, tmpdir_path):
+    """DROP COLUMN is metadata-only: the column reads NULL from the drop
+    LSN for EVERY row (MySQL drops it instantly), post-drop event values
+    are masked as connector noise, storage is never rewritten, and replay
+    with a different batch cut converges."""
+    rows = [
+        (1, "ddl", "db1.a", None, None, "ALTER TABLE db1.a ADD COLUMN tool VARCHAR(64)", None),
+        (2, "insert", "db1.a", "c1", 0, "a1", "t2"),
+        (3, "insert", "db1.a", "c2", 0, "a2", "t3"),
+        (4, "ddl", "db1.a", None, None, "ALTER TABLE db1.a DROP COLUMN tool", None),
+        (5, "update", "db1.a", "c1", 0, "a1-v2", "noise"),  # post-drop noise
+        (6, "insert", "db1.a", "c3", 0, "a3", "noise"),
+    ]
+    df = spark.createDataFrame(rows, COLS)
+    df.repartitionByRange(2, "lsn").write.mode("overwrite").parquet(
+        os.path.join(tmpdir_path, "log")
+    )
+    expect = {
+        ("db1.a", "c1", 0, "a1-v2", None),
+        ("db1.a", "c2", 0, "a2", None),   # pre-drop value masked at read
+        ("db1.a", "c3", 0, "a3", None),
+    }
+    for epb in (2, 100):
+        import shutil
+
+        shutil.rmtree(os.path.join(tmpdir_path, "tables"), ignore_errors=True)
+        if os.path.exists(os.path.join(tmpdir_path, "ckpt.json")):
+            os.remove(os.path.join(tmpdir_path, "ckpt.json"))
+        cfg = _mk_cfg(tmpdir_path)
+        run_sync_multi(spark, cfg, events_per_batch=epb)
+        assert _state(spark, cfg) == expect, f"epb={epb}"
+    t = LakeTable(os.path.join(cfg.target_table_dir, "db1.a"))
+    assert t.properties()["column_dropped_lsns"] == {"tool": 4}
+    assert "tool" in t.schema.names  # storage additive; read masks
+
+
+def test_ddl_change_column_rename_end_to_end(spark, tmpdir_path):
+    """CHANGE old new: the column renames in metadata, pre-rename data
+    files keep reading through the alias coalesce, replayed pre-rename
+    EVENTS unify into the new name (no phantom re-add), and the add-LSN
+    mask follows the rename."""
+    rows = [
+        (1, "ddl", "db1.b", None, None, "ALTER TABLE db1.b ADD COLUMN tool VARCHAR(64)", None),
+        (2, "insert", "db1.b", "k1", 0, "b1", "t2"),
+        (3, "insert", "db1.b", "k2", 0, "b2", "t3"),
+        (4, "ddl", "db1.b", None, None,
+         "ALTER TABLE db1.b CHANGE COLUMN tool tool_name VARCHAR(64)", None),
+        # post-rename events: the synthetic log still carries the column
+        # under its old name — exactly the replayed-pre-rename shape the
+        # fan-out unification handles
+        (5, "update", "db1.b", "k1", 0, "b1-v2", "t5"),
+        (6, "insert", "db1.b", "k3", 0, "b3", "t6"),
+    ]
+    df = spark.createDataFrame(rows, COLS)
+    df.repartitionByRange(2, "lsn").write.mode("overwrite").parquet(
+        os.path.join(tmpdir_path, "log")
+    )
+    expect = {
+        ("db1.b", "k1", 0, "b1-v2", "t5"),
+        ("db1.b", "k2", 0, "b2", "t3"),
+        ("db1.b", "k3", 0, "b3", "t6"),
+    }
+    for epb in (2, 100):
+        import shutil
+
+        shutil.rmtree(os.path.join(tmpdir_path, "tables"), ignore_errors=True)
+        if os.path.exists(os.path.join(tmpdir_path, "ckpt.json")):
+            os.remove(os.path.join(tmpdir_path, "ckpt.json"))
+        cfg = _mk_cfg(tmpdir_path)
+        run_sync_multi(spark, cfg, events_per_batch=epb)
+        t = LakeTable(os.path.join(cfg.target_table_dir, "db1.b"))
+        assert "tool_name" in t.schema.names and "tool" not in t.schema.names
+        got = {
+            (r["_dst_table"], r["conv_id"], r["turn_idx"], r["text"], r["tool_name"])
+            for r in read_final_state_multi(spark, cfg).collect()
+        }
+        assert got == expect, f"epb={epb}"
+    props = t.properties()
+    assert props["column_aliases"] == {"tool_name": ["tool"]}
+    assert props["column_added_lsns"] == {"tool_name": 1}  # bookkeeping migrated
+
+
+def test_ddl_create_table_with_pk_and_like(spark, tmpdir_path):
+    """CREATE TABLE carries the parsed PRIMARY KEY into the destination's
+    merge identity (events for that table fold by ITS key, not the task
+    default), and CREATE TABLE LIKE clones schema + keys."""
+    rows = [
+        (1, "ddl", "db1.c", None, None,
+         "CREATE TABLE db1.c (conv_id VARCHAR(64), turn_idx INT, text TEXT, "
+         "PRIMARY KEY (conv_id)) ENGINE=InnoDB", None),
+        # same conv_id, DIFFERENT turn_idx: under the task default PK
+        # (conv_id, turn_idx) these would be two rows; under the declared
+        # PK (conv_id) the later LSN wins
+        (2, "insert", "db1.c", "x", 0, "first", None),
+        (3, "insert", "db1.c", "x", 1, "second", None),
+        (4, "ddl", "db1.c", None, None, "CREATE TABLE db1.d LIKE db1.c", None),
+        (5, "insert", "db1.a", "a1", 0, "plain", None),
+    ]
+    df = spark.createDataFrame(rows, COLS)
+    df.repartitionByRange(2, "lsn").write.mode("overwrite").parquet(
+        os.path.join(tmpdir_path, "log")
+    )
+    cfg = _mk_cfg(tmpdir_path)
+    run_sync_multi(spark, cfg, events_per_batch=100)
+
+    tc = LakeTable(os.path.join(cfg.target_table_dir, "db1.c"))
+    assert tc.manifest()["key_cols"] == ["conv_id"]
+    got = {(r["conv_id"], r["turn_idx"], r["text"]) for r in tc.read(spark).collect()}
+    assert got == {("x", 1, "second")}  # folded by the DECLARED pk
+
+    td = LakeTable(os.path.join(cfg.target_table_dir, "db1.d"))
+    assert td.exists() and td.manifest()["key_cols"] == ["conv_id"]
+    assert td.read(spark).count() == 0
+    assert {f.name for f in td.schema.fields} == {f.name for f in tc.schema.fields}
+
+    # replay converges (creates are idempotent)
+    cfg2 = _mk_cfg(tmpdir_path)
+    os.remove(cfg2.checkpoint_path)
+    run_sync_multi(spark, cfg2, events_per_batch=2)
+    got = {(r["conv_id"], r["turn_idx"], r["text"]) for r in tc.read(spark).collect()}
+    assert got == {("x", 1, "second")}
+
+
+def test_ddl_drop_then_readd_column(spark, tmpdir_path):
+    """Re-ADD after DROP: rows written before the re-add read NULL (their
+    stored values predate the re-created column — MySQL re-creates it
+    empty); rows written after carry real values. Row-exact via _lsn."""
+    rows = [
+        (1, "ddl", "db1.a", None, None, "ALTER TABLE db1.a ADD COLUMN tool VARCHAR(64)", None),
+        (2, "insert", "db1.a", "c1", 0, "a1", "old"),
+        (3, "ddl", "db1.a", None, None, "ALTER TABLE db1.a DROP COLUMN tool", None),
+        (4, "insert", "db1.a", "c2", 0, "a2", "noise"),
+        (5, "ddl", "db1.a", None, None, "ALTER TABLE db1.a ADD COLUMN tool VARCHAR(64)", None),
+        (6, "insert", "db1.a", "c3", 0, "a3", "new"),
+    ]
+    df = spark.createDataFrame(rows, COLS)
+    df.repartitionByRange(2, "lsn").write.mode("overwrite").parquet(
+        os.path.join(tmpdir_path, "log")
+    )
+    expect = {
+        ("db1.a", "c1", 0, "a1", None),   # pre-drop value: gone with the drop
+        ("db1.a", "c2", 0, "a2", None),   # written while dropped
+        ("db1.a", "c3", 0, "a3", "new"),  # post-re-add: real
+    }
+    for epb in (2, 100):
+        import shutil
+
+        shutil.rmtree(os.path.join(tmpdir_path, "tables"), ignore_errors=True)
+        if os.path.exists(os.path.join(tmpdir_path, "ckpt.json")):
+            os.remove(os.path.join(tmpdir_path, "ckpt.json"))
+        cfg = _mk_cfg(tmpdir_path)
+        run_sync_multi(spark, cfg, events_per_batch=epb)
+        assert _state(spark, cfg) == expect, f"epb={epb}"
