@@ -49,9 +49,38 @@ def _tick(label: str, t0: float, acc: dict | None = None) -> float:
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from estuary_spark.config import SyncConfig
+from estuary_spark.config import (
+    PARTITION_TABLE,
+    PARTITION_TRANSACTION,
+    SyncConfig,
+)
 from estuary_spark.operators.lww import lww_reduce
 from estuary_spark.tables import BUCKET_COL, DELETED_COL, LSN_COL, LakeTable, bucket_expr
+
+
+def order_for_strategy(changes: DataFrame, cfg: SyncConfig) -> DataFrame:
+    """P1: the partition-strategy consistency/parallelism ladder
+    (``bean/key/PartitionStrategy.java:8-33`` in /root/reference;
+    README.md:68-90 documents MOD >= PRIMARY_KEY >= DATABASE_TABLE >>
+    TRANSACTION — estuary trades order guarantees for parallelism because
+    its sinks replay events imperatively, so arrival order IS its
+    correctness).
+
+    Spark re-expression: the LWW merge is ORDER-INSENSITIVE (the winner
+    is determined by (lsn, op-rank), not arrival order), so MOD and
+    PRIMARY_KEY keep the default fully-parallel hash-exchange plan and
+    still deliver TRANSACTION-level consistency of the FINAL STATE.
+    DATABASE_TABLE and TRANSACTION additionally honor the reference's
+    literal execution contract — every event of the table flows through
+    ONE LSN-sorted partition (a deliberate parallelism sacrifice, exactly
+    as the reference documents: use it only when a downstream observer of
+    the raw applied stream needs total order; TRANSACTION additionally
+    serializes the multi-table fan-out — see multi._fanout_workers).
+    MOD's round-robin modulo is subsumed by the hash exchange: both mean
+    "spread freely"."""
+    if cfg.partition_strategy in (PARTITION_TABLE, PARTITION_TRANSACTION):
+        return changes.repartition(1).sortWithinPartitions("lsn")
+    return changes
 
 
 def _apply_mor(
@@ -396,6 +425,9 @@ def apply_batch(
         from estuary_spark.functions.transcripts import transform_chain
 
         changes = transform_chain(changes, list(cfg.transforms))
+
+    # ---- partition strategy (P1): the consistency/parallelism ladder
+    changes = order_for_strategy(changes, cfg)
 
     # ---- salted LWW reduce: one winner per key (P4 + P6); salt_factor
     # -1 = per-batch autosalt (engage the second shuffle only on a

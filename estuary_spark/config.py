@@ -18,18 +18,20 @@ from dataclasses import dataclass, field
 # estuary trades ORDER GUARANTEES for parallelism because its correctness
 # depends on per-actor mailbox arrival order).
 #
-# This engine accepts all four for config parity, but they all execute the
-# same pipeline: LWW-by-LSN makes the merge ORDER-INSENSITIVE (the winner
-# is determined by the data, not by arrival or partition order), so the
-# consistency estuary only achieves at its slowest TRANSACTION level is
-# delivered here at full MOD-level parallelism. The knob therefore never
-# needs to degrade throughput to buy consistency — the one case where it
-# would matter (strict global replay of side effects) does not exist in a
-# declarative merge.
-PARTITION_MOD = "mod"                  # round-robin: spark default hash of all cols
-PARTITION_PRIMARY_KEY = "primary_key"  # hash(conv_id, turn_idx) — the default
-PARTITION_TABLE = "table"              # hash(table) — per-table ordering
-PARTITION_TRANSACTION = "transaction"  # single partition: full total order
+# LWW-by-LSN makes the merge ORDER-INSENSITIVE (the winner is determined
+# by the data, not by arrival or partition order), so MOD and PRIMARY_KEY
+# — the fully-parallel levels — already deliver the FINAL-STATE
+# consistency estuary only achieves at its slowest TRANSACTION level.
+# The stricter levels are still wired as real execution contracts for
+# side-channel observers of the applied stream (apply.order_for_strategy,
+# multi._fanout_workers): TABLE folds each table's events through one
+# LSN-sorted partition (tables stay concurrent); TRANSACTION additionally
+# serializes the multi-table fan-out — one global total order, the
+# reference's strictest (and slowest) level.
+PARTITION_MOD = "mod"                  # spread freely: spark hash exchange
+PARTITION_PRIMARY_KEY = "primary_key"  # hash(key_cols) — the default
+PARTITION_TABLE = "table"              # one ordered partition per table
+PARTITION_TRANSACTION = "transaction"  # global total order: serial fan-out too
 
 
 @dataclass

@@ -526,13 +526,28 @@ def _apply_fanout(
             append_lineage(spark, scfg.lineage_dir, res.lineage)
         return dst, scfg, res
 
-    workers = max(1, min(int(cfg.multi_apply_parallelism), len(dsts) or 1))
+    workers = _fanout_workers(cfg, len(dsts))
     if workers == 1 or len(dsts) <= 1:
         return [one(d) for d in dsts]
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=workers, thread_name_prefix="multi-apply") as ex:
         return [f.result() for f in [ex.submit(one, d) for d in dsts]]
+
+
+def _fanout_workers(cfg: SyncConfig, n_dsts: int) -> int:
+    """Fan-out concurrency under the P1 strategy ladder: TRANSACTION is
+    the reference's strictest level — ONE global total order across every
+    table of the task (README.md:68-90 in /root/reference), so the
+    per-table applies run serially in LSN-batch order; every other level
+    applies tables concurrently (DATABASE_TABLE keeps order WITHIN a
+    table — each apply already folds its table through one sorted
+    partition, see apply.order_for_strategy — tables stay parallel)."""
+    from estuary_spark.config import PARTITION_TRANSACTION
+
+    if cfg.partition_strategy == PARTITION_TRANSACTION:
+        return 1
+    return max(1, min(int(cfg.multi_apply_parallelism), n_dsts or 1))
 
 
 def _sub_cfg(cfg: SyncConfig, dst: str) -> SyncConfig:

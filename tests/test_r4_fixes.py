@@ -319,3 +319,104 @@ def test_compact_lineage_tolerates_vanished_source(tmpdir_path, monkeypatch):
     res = compact_lineage(d)
     assert res["files_after"] == 1
     assert res["rows"] == 2  # the two surviving sources' rows
+
+
+# ----------------------------------------------- partition strategy (P1)
+
+
+def test_partition_strategy_is_wired(spark):
+    """VERDICT r4: the P1 knob must be an execution contract, not a
+    silent no-op. TABLE/TRANSACTION fold through ONE LSN-sorted
+    partition; MOD/PRIMARY_KEY keep the fully-parallel plan."""
+    from estuary_spark.apply import order_for_strategy
+    from estuary_spark.config import (
+        PARTITION_MOD,
+        PARTITION_PRIMARY_KEY,
+        PARTITION_TABLE,
+        PARTITION_TRANSACTION,
+        SyncConfig,
+    )
+
+    df = spark.range(10_000).select(
+        F.concat(F.lit("c"), (F.col("id") % 64).cast("string")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        (10_000 - F.col("id")).alias("lsn"),  # deliberately reverse order
+    ).repartition(8)
+
+    def mk(strategy):
+        return SyncConfig(
+            source_log_dir="/nonexistent", target_table_dir="/nonexistent",
+            partition_strategy=strategy,
+        )
+
+    for s in (PARTITION_MOD, PARTITION_PRIMARY_KEY):
+        assert order_for_strategy(df, mk(s)) is df  # untouched: full parallel
+
+    for s in (PARTITION_TABLE, PARTITION_TRANSACTION):
+        ordered = order_for_strategy(df, mk(s))
+        assert ordered.rdd.getNumPartitions() == 1
+        lsns = [r["lsn"] for r in ordered.select("lsn").collect()]
+        assert lsns == sorted(lsns)  # total LSN order within the partition
+
+
+def test_transaction_strategy_serializes_fanout():
+    """TRANSACTION = one global total order: the multi-table fan-out must
+    run serially; every other level stays concurrent."""
+    from estuary_spark.config import (
+        PARTITION_MOD,
+        PARTITION_PRIMARY_KEY,
+        PARTITION_TABLE,
+        PARTITION_TRANSACTION,
+        SyncConfig,
+    )
+    from estuary_spark.multi import _fanout_workers
+
+    def mk(strategy):
+        return SyncConfig(
+            source_log_dir="x", target_table_dir="y",
+            partition_strategy=strategy, multi_apply_parallelism=8,
+        )
+
+    assert _fanout_workers(mk(PARTITION_TRANSACTION), 16) == 1
+    assert _fanout_workers(mk(PARTITION_TABLE), 16) == 8      # tables parallel
+    assert _fanout_workers(mk(PARTITION_MOD), 16) == 8
+    assert _fanout_workers(mk(PARTITION_PRIMARY_KEY), 4) == 4
+
+
+def test_all_strategies_same_final_state(spark, tmpdir_path):
+    """The ladder trades parallelism, never correctness: every strategy
+    folds the same log to the identical final state."""
+    from estuary_spark.config import (
+        PARTITION_MOD,
+        PARTITION_PRIMARY_KEY,
+        PARTITION_TABLE,
+        PARTITION_TRANSACTION,
+    )
+
+    rows = [
+        (1, "insert", "db1.a", "c1", 0, "v1"),
+        (2, "insert", "db1.b", "k1", 0, "w1"),
+        (3, "update", "db1.a", "c1", 0, "v2"),
+        (4, "delete", "db1.b", "k1", 0, None),
+        (5, "insert", "db1.b", "k2", 0, "w2"),
+        (6, "update", "db1.a", "c1", 0, "v3"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["lsn", "op", "src_table", "conv_id", "turn_idx", "text"]
+    )
+    df.write.parquet(os.path.join(tmpdir_path, "log"))
+
+    from estuary_spark.multi import read_final_state_multi
+
+    states = {}
+    for s in (PARTITION_MOD, PARTITION_PRIMARY_KEY, PARTITION_TABLE, PARTITION_TRANSACTION):
+        tgt = os.path.join(tmpdir_path, f"tables-{s}")
+        cfg = _multi_cfg(tmpdir_path, partition_strategy=s)
+        cfg = __import__("dataclasses").replace(cfg, target_table_dir=tgt)
+        run_sync_multi(spark, cfg, events_per_batch=2)
+        states[s] = {
+            (r["_dst_table"], r["conv_id"], r["turn_idx"], r["text"])
+            for r in read_final_state_multi(spark, cfg).collect()
+        }
+    expect = {("db1.a", "c1", 0, "v3"), ("db1.b", "k2", 0, "w2")}
+    assert all(v == expect for v in states.values()), states
