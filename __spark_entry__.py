@@ -102,6 +102,31 @@ def q_cdc_fold_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select("conv_id", "turn_idx", "text", "_lsn")
 
 
+def q_cdc_fold_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine under the STRICTEST P1 partition strategy (TRANSACTION:
+    one global total order — every event folds through a single LSN-sorted
+    partition, ``bean/key/PartitionStrategy.java:8-33`` / README.md:68-90
+    in /root/reference; wired in apply.order_for_strategy). Must match the
+    SAME fold oracle as the default fully-parallel strategy: the ladder
+    trades parallelism, never the final state."""
+    from estuary_spark.config import PARTITION_TRANSACTION, SyncConfig
+    from estuary_spark.runner import read_final_state, run_sync
+
+    work = tempfile.mkdtemp(prefix="estuary-gate-txn-")
+    log_dir = os.path.join(work, "log")
+    _derive_cdc_log(spark, sf_dir).repartitionByRange(4, "lsn").write.parquet(log_dir)
+    cfg = SyncConfig(
+        source_log_dir=log_dir,
+        target_table_dir=os.path.join(work, "table"),
+        n_buckets=8,
+        envelope_cols=("lsn", "op"),
+        partition_strategy=PARTITION_TRANSACTION,
+    )
+    run_sync(spark, cfg, events_per_batch=2000)
+    final = read_final_state(spark, cfg)
+    return final.select("conv_id", "turn_idx", "text", "_lsn")
+
+
 def q_cdc_fold_engine_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same end-to-end engine run in merge-on-read mode: delta commits +
     fold-on-read + mid-run auto-compaction. Must match the identical SQL
@@ -919,6 +944,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_fold_engine": q_cdc_fold_engine,
+        "cdc_fold_transaction": q_cdc_fold_transaction,
         "cdc_fold_engine_mor": q_cdc_fold_engine_mor,
         "cdc_changes_feed": q_cdc_changes_feed,
         "cdc_chained_sync": q_cdc_chained_sync,
@@ -956,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_fold_engine": _CDC_ORACLE_FOLD,
+        "cdc_fold_transaction": _CDC_ORACLE_FOLD,
         "cdc_fold_engine_mor": _CDC_ORACLE_FOLD,
         "cdc_changes_feed": _CDC_CHANGES_ORACLE,
         "cdc_chained_sync": _CDC_ORACLE_FOLD,
