@@ -481,13 +481,28 @@ def _apply_fanout(
         # unify RENAMED column names: replayed/pre-rename events still
         # carry the old name — coalesce them into the current one so
         # schema reconciliation cannot re-add the old name as a new
-        # column (see _rename_columns / tables.rename_column)
+        # column (see _rename_columns / tables.rename_column). A RETIRED
+        # alias (name re-used by a later ADD COLUMN) only unifies events
+        # at or below its retirement LSN; above it the column is the NEW
+        # column and stays (LSN-exact, batch-boundary-independent)
+        retired = props.get("alias_retired_lsns", {})
+        real_cols = set()
+        from pyspark.sql import types as T
+
+        if "schema" in m:
+            real_cols = set(T.StructType.fromJson(m["schema"]).names)
         for new, olds in props.get("column_aliases", {}).items():
             present = [o for o in olds if o in sub.columns]
             if not present:
                 continue
-            srcs = ([F.col(new)] if new in sub.columns else []) + [F.col(o) for o in present]
-            sub = sub.withColumn(new, F.coalesce(*srcs)).drop(*present)
+            srcs = ([F.col(new)] if new in sub.columns else []) + [
+                F.col(o)
+                if o not in retired
+                else F.when(F.col(cfg.lsn_col) <= int(retired[o]), F.col(o))
+                for o in present
+            ]
+            sub = sub.withColumn(new, F.coalesce(*srcs))
+            sub = sub.drop(*[o for o in present if o not in real_cols])
         # LSN-exact mask for DDL-added columns: events at/below the ADD
         # COLUMN's LSN read the column as NULL (see multi._add_columns) —
         # a literal when() expression, JVM-side, batch-independent

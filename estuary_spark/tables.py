@@ -118,11 +118,22 @@ def _apply_column_semantics(df: DataFrame, m: dict) -> DataFrame:
     aliases = props.get("column_aliases", {})
     added = props.get("column_added_lsns", {})
     dropped = props.get("column_dropped_lsns", {})
+    retired = props.get("alias_retired_lsns", {})
+    real = set(T.StructType.fromJson(m["schema"]).names)
     for new, olds in aliases.items():
         present = [o for o in olds if o in df.columns]
         if new in df.columns and present:
-            df = df.withColumn(new, F.coalesce(F.col(new), *[F.col(o) for o in present]))
-            df = df.drop(*present)
+            # a RETIRED alias (its name re-used by a later ADD COLUMN)
+            # only feeds rows at or below its retirement LSN — above it
+            # the stored values belong to the re-added column
+            srcs = [
+                F.col(o)
+                if o not in retired
+                else F.when(F.col(LSN_COL) <= int(retired[o]), F.col(o))
+                for o in present
+            ]
+            df = df.withColumn(new, F.coalesce(F.col(new), *srcs))
+            df = df.drop(*[o for o in present if o not in real])
     schema = {f.name: f.dataType for f in df.schema.fields}
     for c, dl in dropped.items():
         if c not in df.columns:
@@ -1118,6 +1129,28 @@ class LakeTable:
             props = dict(m.get("properties", {}))
             if extra_properties:
                 props.update(extra_properties)
+            # a newly-declared column may RE-USE the historical name of a
+            # renamed column (CHANGE a b; later ADD COLUMN a): from the
+            # re-add LSN on, values under that name belong to the NEW
+            # column and must not coalesce into b. The alias is RETIRED at
+            # an LSN, not stripped: rows/events at or below the boundary
+            # still read as b (LSN-exact => batch-boundary-independent —
+            # a strip would retroactively break earlier events in the
+            # same batch), rows above belong to the re-added column. With
+            # no LSN known (auto-evolution from a batch, no DDL) the
+            # boundary is -1: the alias goes fully dead, the strict
+            # fallback without per-file field ids.
+            aliases = props.get("column_aliases")
+            if aliases:
+                added_names = {f.name for f in new_schema.fields}
+                added_lsns = (extra_properties or {}).get("column_added_lsns", {})
+                retired = dict(props.get("alias_retired_lsns", {}))
+                for _new, olds in aliases.items():
+                    for o in olds:
+                        if o in added_names:
+                            retired[o] = int(added_lsns.get(o, -1))
+                if retired:
+                    props["alias_retired_lsns"] = retired
             return {
                 "version": m["version"] + 1,
                 "parent": m["version"],

@@ -367,3 +367,46 @@ def test_ddl_drop_then_readd_column(spark, tmpdir_path):
         cfg = _mk_cfg(tmpdir_path)
         run_sync_multi(spark, cfg, events_per_batch=epb)
         assert _state(spark, cfg) == expect, f"epb={epb}"
+
+
+def test_ddl_readd_of_renamed_away_name(spark, tmpdir_path):
+    """Edge: CHANGE a b, then later ADD COLUMN a (re-using the historical
+    name). The new column must NOT leak into b through the alias
+    coalesce; b's pre-rename stored values become unreachable (the
+    documented no-field-ids trade), and the new a is LSN-masked like any
+    added column."""
+    rows = [
+        (1, "ddl", "db1.a", None, None, "ALTER TABLE db1.a ADD COLUMN tool VARCHAR(64)", None),
+        (2, "insert", "db1.a", "c1", 0, "x1", "old-tool"),
+        (3, "ddl", "db1.a", None, None,
+         "ALTER TABLE db1.a CHANGE COLUMN tool tool_name VARCHAR(64)", None),
+        # post-rename update for c1 WITHOUT touching c2
+        (4, "update", "db1.a", "c1", 0, "x1-v2", "t4"),
+        # re-use the old name as a brand-new column
+        (5, "ddl", "db1.a", None, None, "ALTER TABLE db1.a ADD COLUMN tool VARCHAR(64)", None),
+        (6, "insert", "db1.a", "c2", 0, "x2", "new-tool"),
+    ]
+    df = spark.createDataFrame(rows, COLS)
+    df.repartitionByRange(2, "lsn").write.mode("overwrite").parquet(
+        os.path.join(tmpdir_path, "log")
+    )
+    for epb in (2, 100):
+        import shutil
+
+        shutil.rmtree(os.path.join(tmpdir_path, "tables"), ignore_errors=True)
+        if os.path.exists(os.path.join(tmpdir_path, "ckpt.json")):
+            os.remove(os.path.join(tmpdir_path, "ckpt.json"))
+        cfg = _mk_cfg(tmpdir_path)
+        run_sync_multi(spark, cfg, events_per_batch=epb)
+        got = {
+            (r["conv_id"], r["text"], r["tool_name"], r["tool"])
+            for r in read_final_state_multi(spark, cfg).collect()
+        }
+        # c1's winner (lsn 4) wrote tool_name=t4 post-rename; its new-a
+        # `tool` is NULL (winner predates the re-add at 5). c2's winner
+        # (lsn 6) carries the NEW tool; its tool_name is NULL — crucially
+        # NOT 'new-tool' leaked through the alias.
+        assert got == {
+            ("c1", "x1-v2", "t4", None),
+            ("c2", "x2", None, "new-tool"),
+        }, f"epb={epb}"
