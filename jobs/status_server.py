@@ -60,25 +60,34 @@ class TaskManager:
     its task is alive (the reference's per-name task registry behaves the
     same)."""
 
-    def __init__(self) -> None:
+    def __init__(self, log_dir: str | None = None) -> None:
         self._tasks: dict[str, dict] = {}
         self._lock = threading.Lock()
+        self._log_dir = log_dir
 
     def _alive(self, t: dict) -> bool:
         return t["proc"].poll() is None
 
+    def _spawn(self, name: str, args: list[str]) -> "subprocess.Popen":
+        if self._log_dir:
+            os.makedirs(self._log_dir, exist_ok=True)
+            out = open(os.path.join(self._log_dir, f"{name}.log"), "ab")
+        else:
+            out = subprocess.DEVNULL
+        return subprocess.Popen(
+            [sys.executable, _SYNC_JOB, *args], stdout=out, stderr=out
+        )
+
     def new(self, name: str, args: list[str]) -> dict:
         if not name or not isinstance(args, list) or not all(isinstance(a, str) for a in args):
             raise ValueError("need a task name and an argv list of strings")
+        if os.sep in name or name.startswith("."):
+            raise ValueError(f"task name {name!r} must be a plain identifier")
         with self._lock:
             cur = self._tasks.get(name)
             if cur and self._alive(cur):
                 raise KeyError(f"task {name!r} is already running (stop it first)")
-            proc = subprocess.Popen(
-                [sys.executable, _SYNC_JOB, *args],
-                stdout=subprocess.DEVNULL,
-                stderr=subprocess.DEVNULL,
-            )
+            proc = self._spawn(name, args)
             self._tasks[name] = {"proc": proc, "args": list(args), "started_at": time.time()}
             return self.status(name)
 
@@ -108,11 +117,7 @@ class TaskManager:
         if self._alive(t):
             self.stop(name)
         with self._lock:
-            proc = subprocess.Popen(
-                [sys.executable, _SYNC_JOB, *args],
-                stdout=subprocess.DEVNULL,
-                stderr=subprocess.DEVNULL,
-            )
+            proc = self._spawn(name, args)
             self._tasks[name] = {"proc": proc, "args": args, "started_at": time.time()}
         return self.status(name)
 
@@ -282,8 +287,10 @@ def main() -> None:
     ap.add_argument("--allow-control", action="store_true",
                     help="enable POST /tasks/new|stop|restart (sync_job "
                          "subprocess lifecycle); off = read-only status API")
+    ap.add_argument("--task-logs", default=None, metavar="DIR",
+                    help="directory for per-task subprocess logs (control mode)")
     args = ap.parse_args()
-    tasks = TaskManager() if args.allow_control else None
+    tasks = TaskManager(log_dir=args.task_logs) if args.allow_control else None
     srv = make_server(args.root, args.multi, args.checkpoint, args.host, args.port, tasks)
     print(json.dumps({"serving": f"http://{args.host}:{srv.server_address[1]}",
                       "root": args.root, "control": args.allow_control}), flush=True)

@@ -131,7 +131,7 @@ def test_control_task_lifecycle(spark, tmpdir_path):
     target = os.path.join(tmpdir_path, "t")
     ckpt = os.path.join(tmpdir_path, "ck.json")
 
-    tasks = TaskManager()
+    tasks = TaskManager(log_dir=os.path.join(tmpdir_path, 'task-logs'))
     srv = make_server(tmpdir_path, multi=True, port=0, tasks=tasks)
     port = srv.server_address[1]
     th = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -156,7 +156,10 @@ def test_control_task_lifecycle(spark, tmpdir_path):
             if not st["running"]:
                 break
             time.sleep(0.5)
-        assert st["returncode"] == 0, st
+        if st["returncode"] != 0:
+            log = os.path.join(tmpdir_path, "task-logs", "sync-1.log")
+            tail = open(log).read()[-3000:] if os.path.exists(log) else "<no log>"
+            raise AssertionError(f"{st}\n--- task log tail ---\n{tail}")
         got = {
             (r["conv_id"], r["text"])
             for r in read_final_state(
@@ -211,7 +214,7 @@ def test_control_stop_kills_running_task(spark, tmpdir_path):
     df.write.parquet(log_dir)
     target = os.path.join(tmpdir_path, "t")
 
-    tasks = TaskManager()
+    tasks = TaskManager(log_dir=os.path.join(tmpdir_path, 'task-logs'))
     srv = make_server(tmpdir_path, multi=True, port=0, tasks=tasks)
     port = srv.server_address[1]
     th = threading.Thread(target=srv.serve_forever, daemon=True)
