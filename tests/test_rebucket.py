@@ -102,7 +102,7 @@ def test_rebucket_races_live_sync_converges(spark, tmpdir_path):
         # that loses its publish to the rebucket raises the TYPED conflict
         # and the checkpointed restart resumes exactly after the last
         # committed batch (C5: nothing commits on failure)
-        for _ in range(50):
+        for _ in range(200):
             try:
                 run_sync(spark, cfg, events_per_batch=60)
                 return
@@ -116,7 +116,7 @@ def test_rebucket_races_live_sync_converges(spark, tmpdir_path):
 
     # wait for the table to exist, then race the rebucket against live
     # batches, retrying on the typed conflict until it wins a publish
-    deadline = _time.time() + 120
+    deadline = _time.time() + 420
     while not LakeTable(root).exists() and _time.time() < deadline:
         _time.sleep(0.05)
     done = False
@@ -126,7 +126,7 @@ def test_rebucket_races_live_sync_converges(spark, tmpdir_path):
             done = True
         except CommitConflictError:
             conflicts["rebucket"] += 1
-    th.join(timeout=300)
+    th.join(timeout=600)
     assert not th.is_alive() and not sync_err and done
 
     # if the sync outlived the rebucket, later batches adopted the new
