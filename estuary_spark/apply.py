@@ -436,10 +436,16 @@ def apply_batch(
     cached_changes = None
     if salt == -1:
         # Planner-gated detector: the batch's contiguous LSN span bounds
-        # its event count (events carry distinct LSNs modulo replayed
-        # duplicates), so a span at or under the flood threshold cannot
-        # contain a single-key flood — skip the detector entirely, zero
-        # extra jobs on the uniform-small common case (VERDICT r4 #6).
+        # its event count (the engine's data model: LSN is a per-event
+        # total order — binlog journal+offset — so events carry distinct
+        # LSNs modulo replayed duplicates), so a span at or under the
+        # flood threshold cannot contain a single-key flood — skip the
+        # detector entirely, zero extra jobs on the uniform-small common
+        # case (VERDICT r4 #6). A feed violating uniqueness (many rows
+        # sharing one LSN) slips the gate, but such a flood is absorbed
+        # by the always-on map-side partial aggregation regardless: the
+        # hot key reduces to <= one row per map partition before the
+        # shuffle, which is precisely the case salting cannot improve.
         span = offset_range[1] - offset_range[0] + 1
         if span <= cfg.autosalt_threshold:
             salt = 0
@@ -469,11 +475,15 @@ def apply_batch(
             if cached_changes is not None:
                 cached_changes.unpersist()
 
-    touched = [r[BUCKET_COL] for r in winners.select(BUCKET_COL).distinct().collect()]
-    if cached_changes is not None:
-        # winners is persisted and materialized by the collect above — the
-        # pre-reduce lineage will not be re-read
-        cached_changes.unpersist()
+    try:
+        touched = [r[BUCKET_COL] for r in winners.select(BUCKET_COL).distinct().collect()]
+    finally:
+        if cached_changes is not None:
+            # winners is persisted and materialized by the collect above —
+            # the pre-reduce lineage will not be re-read; the finally keeps
+            # a failed collect (executor loss, cast error surfacing at
+            # action time) from leaking the cache across retried batches
+            cached_changes.unpersist()
     _pt = _tick("lww+touched", _pt, phases)
     if not touched:
         winners.unpersist()

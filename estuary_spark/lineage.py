@@ -104,7 +104,12 @@ def compact_lineage(lineage_dir: str, max_files: int = 1) -> dict:
     stale_lock_seconds = 3600.0
     with contextlib.suppress(FileNotFoundError, OSError):
         if time.time() - os.path.getmtime(lock) > stale_lock_seconds:
-            os.remove(lock)
+            # reclaim by RENAME, not remove: rename succeeds for exactly
+            # one rival (a remove-by-path could delete the lock a faster
+            # rival just re-created, re-admitting two compactors)
+            reclaimed = lock + f".reclaimed-{uuid.uuid4().hex[:8]}"
+            os.rename(lock, reclaimed)
+            os.remove(reclaimed)
     try:
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:

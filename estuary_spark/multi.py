@@ -197,7 +197,15 @@ def _create_table(
     if LakeTable(tdir).exists():
         return  # replay, or row events already created it
     names = [n for n, _ in columns]
-    keys = [k for k in key_cols if k in names] or list(cfg.key_cols)
+    # all-or-nothing: a PK that only PARTIALLY matches the parsed columns
+    # (a column clause the shim failed to parse) must not silently narrow
+    # the merge identity — LWW under a narrower key collapses distinct
+    # rows. Fall back to the task key instead.
+    keys = (
+        list(key_cols)
+        if key_cols and all(k in names for k in key_cols)
+        else list(cfg.key_cols)
+    )
     LakeTable.create(
         tdir,
         T.StructType([T.StructField(n, dt, True) for n, dt in columns]),
@@ -320,7 +328,11 @@ def _apply_table_ops(batch: DataFrame, cfg: SyncConfig, tables: dict) -> DataFra
             F.col(cfg.lsn_col).alias("at"),
             sql_col.cast("string").alias("sql"),
         )
-        .orderBy("at")
+        # ties on `at` (a real binlog never produces them; a synthetic or
+        # replayed feed can): Spark's sort is not stable for equal keys,
+        # so a deterministic secondary key is required — kind-ranked
+        # dependency order is applied after parsing (see below)
+        .orderBy("at", F.coalesce(sql_col.cast("string"), F.lit("")))
         .collect()
     )
     if not rows:
@@ -363,6 +375,17 @@ def _apply_table_ops(batch: DataFrame, cfg: SyncConfig, tables: dict) -> DataFra
                 (_route_name(cfg, p["table"]), kind, int(r["at"]), _route_name(cfg, p["to"]))
             )
         # modify_column / unsupported: deliberate no-op (see docstring)
+
+    # stable dependency ranking WITHIN one LSN: creates land before ops
+    # that may reference the created table (CREATE t; CREATE u LIKE t at
+    # one LSN), column ops before table-level fences. Python's sort is
+    # stable, so distinct LSNs keep their (deterministic) collected order.
+    _rank = {
+        "create_table": 0, "create_table_like": 1,
+        "add_column": 2, "rename_column": 2, "drop_column": 2,
+        "rename_table": 3, OP_TRUNCATE: 4, OP_DROP_TABLE: 4,
+    }
+    events.sort(key=lambda e: (e[2], _rank.get(e[1], 5)))
 
     fences: dict[str, int] = {}  # dst -> latest truncate/drop LSN this batch
     for dst, kind, at, extra in events:
@@ -457,7 +480,28 @@ def _apply_fanout(
     phase). Table creation and table-level ops stay in the caller's
     thread — only per-table applies run concurrently.
     """
-    dsts = sorted(r[0] for r in batch.select(DST_COL).distinct().collect())
+    from estuary_spark.config import PARTITION_TRANSACTION
+
+    if cfg.partition_strategy == PARTITION_TRANSACTION:
+        # serialized fan-out applies tables in FIRST-EVENT-LSN order, the
+        # closest per-batch approximation of the reference's one global
+        # stream (its TRANSACTION level routes every table through one
+        # actor in binlog order). Exact guarantee: strict LSN order WITHIN
+        # each table (order_for_strategy) + tables sequenced by their
+        # batch-local LSN floor + batches themselves are contiguous LSN
+        # ranges applied serially — a cross-table observer sees per-batch
+        # granularity, not per-event interleaving (that would require one
+        # single-table apply over the union, forfeiting the per-table
+        # exactly-once bookkeeping).
+        dsts = [
+            r[0]
+            for r in batch.groupBy(DST_COL)
+            .agg(F.min(cfg.lsn_col).alias("_lo"))
+            .orderBy("_lo", DST_COL)
+            .collect()
+        ]
+    else:
+        dsts = sorted(r[0] for r in batch.select(DST_COL).distinct().collect())
     for dst in dsts:
         if dst not in tables:
             scfg = _sub_cfg(cfg, dst)
@@ -669,6 +713,7 @@ def run_sync_streaming_multi(
     checkpoint_location: str,
     max_files_per_trigger: int = 2,
     available_now: bool = True,
+    processing_time: str | None = None,
     source: LogSource | None = None,
 ) -> dict:
     """Structured Streaming front-end for the multi-table task: one
@@ -707,7 +752,11 @@ def run_sync_streaming_multi(
         .option("checkpointLocation", checkpoint_location)
         .outputMode("update")
     )
-    q = writer.trigger(availableNow=True).start() if available_now else writer.start()
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    q = writer.start()
     q.awaitTermination()
     return stats
 

@@ -145,6 +145,16 @@ def _apply_column_semantics(df: DataFrame, m: dict) -> DataFrame:
             # re-added after the drop: stored rows from before the re-add
             # hold pre-drop values that MySQL would have discarded
             df = df.withColumn(c, F.when(F.col(LSN_COL) > al, F.col(c)))
+    # a column whose name was RETIRED from an alias list (CHANGE a b then
+    # ADD COLUMN a) physically shares files with the renamed column's
+    # pre-rename history: rows written at/below the re-add carry b's old
+    # values under the name 'a' and must read NULL for the NEW a (the
+    # re-created column is empty for them) — row-exact via each row's
+    # winner _lsn, mirroring the drop/re-add mask above
+    if LSN_COL in df.columns:
+        for c, rl in retired.items():
+            if c in df.columns and c in real:
+                df = df.withColumn(c, F.when(F.col(LSN_COL) > int(rl), F.col(c)))
     return df
 
 

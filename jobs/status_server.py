@@ -71,11 +71,16 @@ class TaskManager:
     def _spawn(self, name: str, args: list[str]) -> "subprocess.Popen":
         if self._log_dir:
             os.makedirs(self._log_dir, exist_ok=True)
-            out = open(os.path.join(self._log_dir, f"{name}.log"), "ab")
-        else:
-            out = subprocess.DEVNULL
+            with open(os.path.join(self._log_dir, f"{name}.log"), "ab") as out:
+                # Popen dups the descriptor for the child; closing the
+                # parent's copy immediately prevents an fd leak per spawn
+                return subprocess.Popen(
+                    [sys.executable, _SYNC_JOB, *args], stdout=out, stderr=out
+                )
         return subprocess.Popen(
-            [sys.executable, _SYNC_JOB, *args], stdout=out, stderr=out
+            [sys.executable, _SYNC_JOB, *args],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
         )
 
     def new(self, name: str, args: list[str]) -> dict:
@@ -117,6 +122,11 @@ class TaskManager:
         if self._alive(t):
             self.stop(name)
         with self._lock:
+            # the lock was released across the stop: a concurrent new()/
+            # restart() may have replaced the entry — respawning here
+            # would clobber its registry slot and orphan its subprocess
+            if self._tasks.get(name) is not t:
+                raise KeyError(f"task {name!r} was replaced concurrently; retry")
             proc = self._spawn(name, args)
             self._tasks[name] = {"proc": proc, "args": args, "started_at": time.time()}
         return self.status(name)

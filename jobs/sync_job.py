@@ -150,7 +150,9 @@ def main() -> None:
             if not args.checkpoint:
                 sys.exit("--checkpoint (a directory) is required with --streaming")
             print(json.dumps(run_sync_streaming_multi(
-                spark, cfg, args.checkpoint, available_now=args.continuous is None,
+                spark, cfg, args.checkpoint,
+                available_now=args.continuous is None,
+                processing_time=args.continuous,
             )))
         else:
             from estuary_spark.multi import run_sync_multi

@@ -410,3 +410,82 @@ def test_ddl_readd_of_renamed_away_name(spark, tmpdir_path):
             ("c1", "x1-v2", "t4", None),
             ("c2", "x2", None, "new-tool"),
         }, f"epb={epb}"
+
+
+def test_ddl_rename_then_readd_untouched_rows(spark, tmpdir_path):
+    """Code-review regression: a row written PRE-rename and never touched
+    again must, after the old name is re-ADDed, read its value under the
+    RENAMED column and NULL under the re-created one — the stored file
+    physically carries the old name, so without the retirement read-mask
+    the new column would leak the old values."""
+    rows = [
+        (1, "ddl", "db1.a", None, None, "ALTER TABLE db1.a ADD COLUMN tool VARCHAR(64)", None),
+        (2, "insert", "db1.a", "c1", 0, "x1", "secret"),   # never touched again
+        (3, "ddl", "db1.a", None, None,
+         "ALTER TABLE db1.a CHANGE COLUMN tool tool_name VARCHAR(64)", None),
+        (4, "ddl", "db1.a", None, None, "ALTER TABLE db1.a ADD COLUMN tool VARCHAR(64)", None),
+        (5, "insert", "db1.a", "c2", 0, "x2", "new"),
+    ]
+    df = spark.createDataFrame(rows, COLS)
+    df.repartitionByRange(2, "lsn").write.mode("overwrite").parquet(
+        os.path.join(tmpdir_path, "log")
+    )
+    expect = {
+        # c1 keeps its value under the RENAMED column; the re-created
+        # `tool` is NULL for it (pre-re-add row)
+        ("db1.a", "c1", 0, "x1", "secret", None),
+        ("db1.a", "c2", 0, "x2", None, "new"),
+    }
+    for epb in (2, 100):
+        import shutil
+
+        shutil.rmtree(os.path.join(tmpdir_path, "tables"), ignore_errors=True)
+        if os.path.exists(os.path.join(tmpdir_path, "ckpt.json")):
+            os.remove(os.path.join(tmpdir_path, "ckpt.json"))
+        cfg = _mk_cfg(tmpdir_path)
+        run_sync_multi(spark, cfg, events_per_batch=epb)
+        got = {
+            (r["_dst_table"], r["conv_id"], r["turn_idx"], r["text"],
+             r["tool_name"], r["tool"])
+            for r in read_final_state_multi(spark, cfg).collect()
+        }
+        assert got == expect, f"epb={epb}: {got}"
+
+
+def test_ddl_same_lsn_create_then_like(spark, tmpdir_path):
+    """Code-review regression: CREATE TABLE and CREATE TABLE LIKE sharing
+    one LSN must apply in dependency order regardless of collect order
+    (Spark's sort is not stable for equal keys)."""
+    rows = [
+        # LIKE listed FIRST in the log to stress the ordering
+        (1, "ddl", "db1.d", None, None, "CREATE TABLE db1.d LIKE db1.c", None),
+        (1, "ddl", "db1.c", None, None,
+         "CREATE TABLE db1.c (conv_id VARCHAR(64), turn_idx INT, text TEXT, "
+         "PRIMARY KEY (conv_id))", None),
+        (2, "insert", "db1.a", "a1", 0, "row", None),
+    ]
+    df = spark.createDataFrame(rows, COLS)
+    df.write.mode("overwrite").parquet(os.path.join(tmpdir_path, "log"))
+    cfg = _mk_cfg(tmpdir_path)
+    run_sync_multi(spark, cfg, events_per_batch=100)
+    tc = LakeTable(os.path.join(cfg.target_table_dir, "db1.c"))
+    td = LakeTable(os.path.join(cfg.target_table_dir, "db1.d"))
+    assert tc.exists() and td.exists()
+    assert td.manifest()["key_cols"] == ["conv_id"]  # cloned from c
+
+
+def test_ddl_create_partial_pk_falls_back(spark, tmpdir_path):
+    """Code-review regression: a PRIMARY KEY that only partially matches
+    the parsed columns must fall back to the task key WHOLE — silently
+    narrowing the merge identity would collapse distinct rows."""
+    from estuary_spark.multi import _create_table
+
+    cfg = _mk_cfg(tmpdir_path)
+    os.makedirs(cfg.target_table_dir, exist_ok=True)
+    _create_table(
+        cfg, {}, "db1.p",
+        [("conv_id", T.StringType()), ("turn_idx", T.IntegerType())],
+        ["conv_id", "missing"],  # 'missing' failed to parse as a column
+    )
+    t = LakeTable(os.path.join(cfg.target_table_dir, "db1.p"))
+    assert t.manifest()["key_cols"] == list(cfg.key_cols)  # whole fallback
