@@ -233,3 +233,94 @@ class TableChangesLogSource(LogSource):
         t = LakeTable(self.table_root)
         props = t.properties() if t.exists() else {}
         return int(props.get("tombstone_purge", {}).get("watermark_lsn", 0))
+
+
+class OplogLogSource(LogSource):
+    """MongoDB-oplog-shaped change log -> typed change events (the
+    reference's bean-only Mongo surface: ``bean/resource/MongoSourceBean
+    .scala`` + ``bean/key/OplogKey.java`` in /root/reference declare an
+    oplog source that its pipelines never wire up; here the shim is a
+    working LogSource so an oplog tail dropped to parquet/JSON-lines —
+    what mongoexport / a Kafka Mongo connector lands — syncs through the
+    unmodified apply core).
+
+    Oplog entry shape (the ``OplogKey`` fields): ``ts`` a BSON Timestamp
+    = (seconds, increment) pair, ``op`` one of ``i``/``u``/``d`` (``n``
+    no-ops are dropped), ``ns`` = ``db.collection``, ``o`` the document
+    (JSON text), ``o2`` the update selector carrying ``_id``. Expected
+    physical columns: ``ts_sec int, ts_inc int, op string, ns string,
+    o string, o2 string`` (a thin connector projection of the raw BSON).
+
+    Mapping (all built-in column expressions — JVM-side, codegen):
+
+    * LSN = ``ts_sec << 20 | ts_inc`` — the same monotone total order
+      the oplog itself guarantees (increment disambiguates entries in
+      one second; 20 bits = >1M entries/second headroom);
+    * op i/u/d -> insert/update/delete; ``n`` (heartbeat/noop) dropped;
+    * ``ns`` -> the multi-table routing column (``cfg.table_col``);
+    * document fields are decoded from ``o`` with one ``from_json`` using
+      the caller-declared value schema (the engine's schema-is-declared
+      contract; per-batch reconciliation handles drift) and the key falls
+      back to ``o2._id`` for deletes/updates whose ``o`` carries only a
+      partial update document.
+    """
+
+    def __init__(self, path: str, value_schema: T.StructType, id_col: str = "_id"):
+        self.path = path
+        self.value_schema = value_schema
+        self.id_col = id_col
+
+    def _decode(self, raw: DataFrame) -> DataFrame:
+        doc = F.from_json(F.col("o").cast("string"), self.value_schema)
+        sel = F.from_json(
+            F.col("o2").cast("string"),
+            T.StructType([T.StructField(self.id_col, T.StringType())]),
+        )
+        cols = [
+            (
+                F.shiftleft(F.col("ts_sec").cast("long"), 20)
+                .bitwiseOR(F.col("ts_inc").cast("long"))
+                .alias("lsn")
+            ),
+            F.when(F.col("op") == "i", "insert")
+            .when(F.col("op") == "u", "update")
+            .when(F.col("op") == "d", "delete")
+            .alias("op"),
+            F.col("ns"),
+        ]
+        for f in self.value_schema.fields:
+            c = doc[f.name]
+            if f.name == self.id_col:
+                # deletes / partial updates carry the key only in o2
+                c = F.coalesce(doc[f.name].cast(f.dataType), sel[self.id_col].cast(f.dataType))
+            cols.append(c.alias(f.name))
+        return raw.select(*cols).filter(F.col("op").isNotNull())  # 'n' dropped
+
+    def read_batch(self, spark, start_lsn=None, end_lsn=None) -> DataFrame:
+        df = self._decode(
+            spark.read.option("recursiveFileLookup", "true").parquet(self.path)
+        )
+        if start_lsn is not None:
+            df = df.filter(F.col("lsn") >= start_lsn)
+        if end_lsn is not None:
+            df = df.filter(F.col("lsn") <= end_lsn)
+        return df
+
+    def read_stream(self, spark, max_files_per_trigger: int | None = None) -> DataFrame:
+        raw_schema = T.StructType(
+            [
+                T.StructField("ts_sec", T.LongType()),
+                T.StructField("ts_inc", T.LongType()),
+                T.StructField("op", T.StringType()),
+                T.StructField("ns", T.StringType()),
+                T.StructField("o", T.StringType()),
+                T.StructField("o2", T.StringType()),
+            ]
+        )
+        reader = spark.readStream.schema(raw_schema).option("recursiveFileLookup", "true")
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return self._decode(reader.parquet(self.path))
+
+    def min_available_lsn(self) -> int:
+        return log_retention_floor(self.path)
